@@ -1,0 +1,154 @@
+"""Shared flax building blocks used by every encoder stack.
+
+Precision contract (core/precision.py): parameters are fp32, matmuls run in
+`dtype` (bf16 by default), LayerNorm statistics and softmax run in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from x2vlm_tpu.ops.attention import dot_product_attention
+
+__all__ = ["LayerNorm", "Mlp", "DropPath", "MultiHeadAttention", "gelu_exact"]
+
+Dtype = Any
+
+
+def gelu_exact(x):
+    """erf-based GELU (torch.nn.GELU default; BERT 'gelu')."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNorm(nn.Module):
+    """fp32 LayerNorm returning the input's dtype."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="ln")(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    """Transformer FFN: dense -> act -> dense (+ optional dropout)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = gelu_exact
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (reference: timm DropPath used in beit2.py/swin)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class MultiHeadAttention(nn.Module):
+    """Projection wrapper around the shared attention core.
+
+    Handles both self-attention (`kv` is None) and cross-attention (`kv` given,
+    possibly with a different feature width — the fusion layers project K/V
+    from the vision width, reference xbert.py:236-238).
+
+    `qkv_bias_mode`: "full" (q,k,v biases — BERT), "qv" (q and v biases only,
+    k bias fixed zero — BEiT-2, reference beit2.py:83-88), "none".
+    """
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    qkv_bias_mode: str = "full"
+    attn_dropout_rate: float = 0.0
+    proj_dropout_rate: float = 0.0
+    scale: Optional[float] = None
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        kv=None,
+        *,
+        bias=None,
+        key_mask=None,
+        mask=None,
+        causal: bool = False,
+        cache=None,
+        deterministic: bool = True,
+        impl: str = "auto",
+    ):
+        B, Sq, C = x.shape
+        head_dim = self.head_dim or C // self.num_heads
+        inner = head_dim * self.num_heads
+        kv_src = x if kv is None else kv
+
+        dense = lambda use_bias, name: nn.Dense(
+            inner, use_bias=use_bias, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        bq = self.qkv_bias_mode in ("full", "qv")
+        bk = self.qkv_bias_mode == "full"
+        bv = self.qkv_bias_mode in ("full", "qv")
+        q = dense(bq, "query")(x)
+        k = dense(bk, "key")(kv_src)
+        v = dense(bv, "value")(kv_src)
+
+        q = q.reshape(B, Sq, self.num_heads, head_dim)
+        k = k.reshape(B, k.shape[1], self.num_heads, head_dim)
+        v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
+
+        if cache is not None:
+            # Incremental decode: concatenate cached K/V (UniLM history_states
+            # semantics, reference xbert.py:349-353).
+            k = jnp.concatenate([cache["k"], k], axis=1)
+            v = jnp.concatenate([cache["v"], v], axis=1)
+
+        dropout_rng = None
+        if self.attn_dropout_rate > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        out = dot_product_attention(
+            q, k, v,
+            bias=bias, key_mask=key_mask, mask=mask, causal=causal,
+            scale=self.scale if self.scale is not None else head_dim ** -0.5,
+            dropout_rate=self.attn_dropout_rate,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            impl=impl,
+        )
+        out = out.reshape(B, Sq, inner)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)
+        if self.proj_dropout_rate > 0.0:
+            out = nn.Dropout(self.proj_dropout_rate)(out, deterministic=deterministic)
+        if cache is not None:
+            return out, {"k": k, "v": v}
+        return out
