@@ -1,0 +1,206 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x2vlm_tpu.models import (
+    BEiT2, BEiT2Config, BertConfig, BertEncoder, BertMLMHead,
+    XVLMConfig, XVLMForPretrain, XVLMForRetrieval,
+)
+from x2vlm_tpu.models.beit2 import grouped_image_embeds, relative_position_index
+
+
+def tiny_vision(res=32, patch=16):
+    return BEiT2Config(image_res=res, patch_size=patch, embed_dim=32, depth=2,
+                       num_heads=2, drop_path_rate=0.0, dropout_rate=0.0)
+
+
+def tiny_text(**kw):
+    defaults = dict(vocab_size=100, hidden_size=32, num_layers=4, fusion_layer=2,
+                    num_heads=2, intermediate_size=64, encoder_width=32,
+                    hidden_dropout=0.0, attn_dropout=0.0)
+    defaults.update(kw)
+    return BertConfig(**defaults)
+
+
+def tiny_xvlm():
+    return XVLMConfig(vision=tiny_vision(), text=tiny_text(), embed_dim=16)
+
+
+def test_relative_position_index_properties():
+    idx = relative_position_index((3, 3))
+    num_rel = 5 * 5 + 3
+    assert idx.shape == (10, 10)
+    assert idx[0, 0] == num_rel - 1
+    assert (idx[1:, 0] == num_rel - 2).all()
+    assert (idx[0, 1:] == num_rel - 3).all()
+    # center-to-center distances are symmetric under transpose w/ reversal
+    assert idx[1, 1] == idx[5, 5]  # same relative offset (0, 0)
+    assert idx.max() < num_rel
+
+
+def test_beit2_forward_shapes(rng):
+    cfg = tiny_vision()
+    model = BEiT2(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, cfg.num_patches + 1, 32)
+    # token 0 is the mean of patch tokens
+    np.testing.assert_allclose(
+        np.asarray(out[:, 0]), np.asarray(out[:, 1:].mean(axis=1)), atol=1e-5)
+
+
+def test_grouped_image_embeds(rng):
+    ve = jnp.asarray(rng.standard_normal((2, 5, 8)), jnp.float32)  # 2 imgs, 4 patches
+    idx = jnp.asarray([0, 0, 1])
+    atts = jnp.asarray([
+        [1, 1, 1, 0, 0],
+        [1, 0, 0, 1, 1],
+        [1, 1, 1, 1, 1],
+    ], jnp.float32)
+    region, full = grouped_image_embeds(ve, idx, atts)
+    assert region.shape == (3, 5, 8)
+    assert full.shape == (3, 5, 8)
+    # row 0: masked avgpool over patches 1,2 (atts[0,1:] = 1,1,0,0)
+    expect = np.asarray(ve[0, 1:3]).mean(axis=0)
+    np.testing.assert_allclose(np.asarray(region[0, 0]), expect, rtol=1e-6)
+    # patch tokens are the full-attention patches of the gathered image
+    np.testing.assert_allclose(np.asarray(region[2, 1:]), np.asarray(ve[1, 1:]))
+
+
+def test_bert_modes_compose(rng):
+    """text-mode then fusion-mode == multi_modal in one pass."""
+    cfg = tiny_text()
+    model = BertEncoder(cfg, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 100, (2, 8)), jnp.int32)
+    atts = jnp.ones((2, 8), jnp.int32)
+    img = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    img_atts = jnp.ones((2, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, atts,
+                        encoder_hidden_states=img, encoder_attention_mask=img_atts)
+
+    full = model.apply(params, ids, atts, encoder_hidden_states=img,
+                       encoder_attention_mask=img_atts, mode="multi_modal")
+    txt = model.apply(params, ids, atts, mode="text")
+    fused = model.apply(params, encoder_embeds=txt, attention_mask=atts,
+                        encoder_hidden_states=img, encoder_attention_mask=img_atts,
+                        mode="fusion")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(fused), atol=1e-5)
+
+
+def test_bert_text_only_full_stack_skips_cross(rng):
+    cfg = tiny_text()
+    model = BertEncoder(cfg, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 100, (2, 8)), jnp.int32)
+    atts = jnp.ones((2, 8), jnp.int32)
+    img = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, atts,
+                        encoder_hidden_states=img,
+                        encoder_attention_mask=jnp.ones((2, 5), jnp.int32))
+    out = model.apply(params, ids, atts, mode="multi_modal")  # no image
+    assert out.shape == (2, 8, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mlm_head_masked_pos_gather(rng):
+    cfg = tiny_text()
+    head = BertMLMHead(cfg, dtype=jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)
+    pos = jnp.asarray([[1, 3], [0, 5]], jnp.int32)
+    params = head.init(jax.random.PRNGKey(0), hidden, masked_pos=pos)
+    logits = head.apply(params, hidden, masked_pos=pos)
+    assert logits.shape == (2, 2, 100)
+    full = head.apply(params, hidden)
+    np.testing.assert_allclose(np.asarray(logits[0, 0]), np.asarray(full[0, 1]),
+                               rtol=1e-5)
+
+
+def _pretrain_batch(rng, bs=4, res=32, seq=8, n_mask=3):
+    return {
+        "image": jnp.asarray(rng.standard_normal((bs, res, res, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(0, 100, (bs, seq)), jnp.int32),
+        "text_atts": jnp.ones((bs, seq), jnp.int32),
+        "text_ids_masked": jnp.asarray(rng.integers(0, 100, (bs, seq)), jnp.int32),
+        "masked_pos": jnp.asarray(rng.integers(0, seq, (bs, n_mask)), jnp.int32),
+        "masked_ids": jnp.asarray(rng.integers(0, 100, (bs, n_mask)), jnp.int32),
+    }
+
+
+def test_pretrain_losses_finite(rng):
+    cfg = tiny_xvlm()
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+    batch = _pretrain_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    losses = model.apply(params, batch, rng=jax.random.PRNGKey(3),
+                         deterministic=True)
+    for k in ("loss_itc", "loss_itm", "loss_mlm"):
+        assert np.isfinite(float(losses[k])), k
+    # ITC at init should be ~ln(batch) for random features
+    assert 0.1 < float(losses["loss_itc"]) < 10.0
+
+
+def test_pretrain_region_stream_bbox_losses(rng):
+    cfg = tiny_xvlm()
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+    bs, n_img = 4, 2
+    batch = _pretrain_batch(rng, bs=bs)
+    batch["image"] = jnp.asarray(rng.standard_normal((n_img, 32, 32, 3)), jnp.float32)
+    batch["idx_to_group_img"] = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    S = cfg.vision.num_patches + 1
+    atts = np.zeros((bs, S), np.float32)
+    atts[:, :3] = 1
+    batch["image_atts"] = jnp.asarray(atts)
+    cxy = rng.uniform(0.4, 0.6, (bs, 2))
+    wh = rng.uniform(0.1, 0.3, (bs, 2))
+    batch["target_bbox"] = jnp.asarray(np.concatenate([cxy, wh], 1), jnp.float32)
+    batch["is_image"] = jnp.asarray([0, 1, 0, 0], jnp.float32)
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2), ret_bbox_loss=True)
+    losses = model.apply(params, batch, rng=jax.random.PRNGKey(3),
+                         ret_bbox_loss=True, deterministic=True)
+    for k in ("loss_itc", "loss_itm", "loss_mlm", "loss_bbox", "loss_giou"):
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_text_only_stream(rng):
+    cfg = tiny_xvlm()
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+    mm_batch = _pretrain_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        mm_batch, rng=jax.random.PRNGKey(2))
+    text_batch = {k: v for k, v in mm_batch.items() if k != "image"}
+    text_batch["image"] = None
+    losses = model.apply(params, text_batch, deterministic=True)
+    assert set(losses) == {"loss_mlm"}
+    assert np.isfinite(float(losses["loss_mlm"]))
+
+
+def test_retrieval_losses_and_idx(rng):
+    cfg = tiny_xvlm()
+    model = XVLMForRetrieval(cfg, dtype=jnp.float32)
+    bs = 4
+    image = jnp.asarray(rng.standard_normal((bs, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 100, (bs, 8)), jnp.int32)
+    atts = jnp.ones((bs, 8), jnp.int32)
+    idx = jnp.asarray([0, 0, 1, 2], jnp.int32)  # duplicate image idx
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        image, ids, atts, idx, rng=jax.random.PRNGKey(2))
+    losses = model.apply(params, image, ids, atts, idx,
+                         rng=jax.random.PRNGKey(3), deterministic=True)
+    assert np.isfinite(float(losses["loss_itc"]))
+    assert np.isfinite(float(losses["loss_itm"]))
+    # eval encoders
+    embeds, feat = model.apply(params, image, method=model.encode_images)
+    assert feat.shape == (bs, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feat), axis=-1), 1.0,
+                               rtol=1e-5)
+    t_embeds, t_feat = model.apply(params, ids, atts, method=model.encode_texts)
+    score = model.apply(params, embeds, t_embeds, atts, method=model.itm_score)
+    assert score.shape == (bs,)

@@ -1,0 +1,258 @@
+"""BERT-family text / fusion / decoder stack.
+
+Capability parity with the reference's forked HF BERT (models/xbert.py, 1688
+LoC) and RoBERTa/XLM-R fork (models/xroberta.py), redesigned as one flax
+module on the shared attention core:
+
+- ``mode='text'``   runs layers [0, fusion_layer)            (xbert.py:674-676)
+- ``mode='fusion'`` runs layers [fusion_layer, N) on given embeddings, with
+  cross-attention K/V projected from the vision width       (xbert.py:677-686,236-238)
+- ``mode='multi_modal'`` runs all layers                     (xbert.py:674-686)
+- cross-attention exists only in layers >= fusion_layer      (xbert.py:559-562)
+- decoder mode: causal self-attention + per-layer KV cache covering both the
+  HF past_key_value path and the UniLM history_states cache  (xbert.py:349-359)
+- MLM head computes logits only at masked positions (masked_pos gather,
+  xbert.py:1591-1673), with the optional embedding_dim bottleneck
+  (xbert.py:789-814)
+
+RoBERTa/XLM-R reuse this module with ``position_offset=2`` (pos ids start at
+padding_idx+1, xroberta.py:1296) and type_vocab_size=1.
+
+The fp16 Q-prescale trick (xbert.py:364-369) is intentionally absent: bf16 has
+fp32 exponent range, so the overflow it guards against cannot occur.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from x2vlm_tpu.ops.layers import Mlp, MultiHeadAttention, gelu_exact
+
+__all__ = ["BertConfig", "BertEncoder", "BertMLMHead"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 18           # text_num_hidden_layers (includes fusion)
+    fusion_layer: int = 12         # text_fusion_start_at
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    encoder_width: int = 768       # width of cross-attention KV source (vision)
+    ln_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    position_offset: int = 0       # 2 for RoBERTa/XLM-R
+    embedding_dim: Optional[int] = None  # MLM head bottleneck (CCLM)
+    is_decoder: bool = False       # causal self-attention (generation stacks)
+
+    @classmethod
+    def bert_base(cls, num_layers=18, fusion_layer=12, encoder_width=768, **kw):
+        return cls(num_layers=num_layers, fusion_layer=fusion_layer,
+                   encoder_width=encoder_width, **kw)
+
+    @classmethod
+    def bert_large(cls, num_layers=24, fusion_layer=18, encoder_width=1024, **kw):
+        return cls(hidden_size=1024, num_heads=16, intermediate_size=4096,
+                   num_layers=num_layers, fusion_layer=fusion_layer,
+                   encoder_width=encoder_width, **kw)
+
+    @classmethod
+    def roberta_base(cls, vocab_size=250002, num_layers=12, fusion_layer=12,
+                     encoder_width=768, **kw):
+        # XLM-R base defaults (CCLM text encoder).
+        return cls(vocab_size=vocab_size, num_layers=num_layers,
+                   fusion_layer=fusion_layer, encoder_width=encoder_width,
+                   max_position_embeddings=514, type_vocab_size=1,
+                   position_offset=2, **kw)
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic: bool = True):
+        cfg = self.config
+        B, S = input_ids.shape
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(cfg.position_offset, cfg.position_offset + S)
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="position_embeddings")(pos_ids)[None]
+        tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="token_type_embeddings")(
+                           jnp.zeros((1, S), jnp.int32))
+        x = word + pos + tok
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="ln")(
+                             x.astype(jnp.float32)).astype(self.dtype)
+        if cfg.hidden_dropout > 0.0:
+            x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return x
+
+
+class BertLayer(nn.Module):
+    """Post-LN transformer layer; optional cross-attention sublayer."""
+
+    config: BertConfig
+    has_cross: bool
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        attention_mask=None,            # (B, S) 1=keep
+        encoder_hidden_states=None,     # (B, S_img, encoder_width)
+        encoder_attention_mask=None,    # (B, S_img)
+        causal: bool = False,
+        cache=None,                     # {"k": ..., "v": ...} self-attn KV cache
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+
+        attn = MultiHeadAttention(
+            num_heads=cfg.num_heads,
+            attn_dropout_rate=cfg.attn_dropout,
+            proj_dropout_rate=cfg.hidden_dropout,
+            dtype=self.dtype,
+            name="self_attn",
+        )
+        new_cache = None
+        if cache is not None:
+            h, new_cache = attn(x, key_mask=attention_mask, causal=causal,
+                                cache=cache, deterministic=deterministic)
+        else:
+            h = attn(x, key_mask=attention_mask, causal=causal,
+                     deterministic=deterministic)
+        x = ln("attn_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
+
+        # Cross-attention is *skipped* (not errored) when no image stream is
+        # given — the text-only MLM path runs the full stack uni-modally
+        # (reference xbert.py:595 "update: to utilize text data"). NOTE: model
+        # init must therefore trace a multimodal call so cross params exist.
+        if self.has_cross and encoder_hidden_states is not None:
+            h = MultiHeadAttention(
+                num_heads=cfg.num_heads,
+                attn_dropout_rate=cfg.attn_dropout,
+                proj_dropout_rate=cfg.hidden_dropout,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(x, kv=encoder_hidden_states.astype(self.dtype),
+              key_mask=encoder_attention_mask, deterministic=deterministic)
+            x = ln("cross_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
+
+        h = Mlp(hidden_dim=cfg.intermediate_size, act=gelu_exact,
+                dropout_rate=cfg.hidden_dropout, dtype=self.dtype, name="mlp")(
+                    x, deterministic=deterministic)
+        x = ln("mlp_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
+        if new_cache is not None:
+            return x, new_cache
+        return x
+
+
+class BertEncoder(nn.Module):
+    """The text/fusion/decoder stack. Call with mode='text'|'fusion'|'multi_modal'."""
+
+    config: BertConfig
+    add_embeddings: bool = True    # False for the standalone cross encoder (xbert.py:984-991)
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.config
+        if self.add_embeddings:
+            self.embeddings = BertEmbeddings(cfg, dtype=self.dtype)
+        self.layers = [
+            BertLayer(cfg, has_cross=(i >= cfg.fusion_layer) or cfg.is_decoder,
+                      dtype=self.dtype, name=f"layer_{i}")
+            for i in range(cfg.num_layers)
+        ]
+
+    def embed(self, input_ids, deterministic: bool = True):
+        return self.embeddings(input_ids, deterministic=deterministic)
+
+    def __call__(
+        self,
+        input_ids=None,
+        attention_mask=None,
+        encoder_embeds=None,
+        encoder_hidden_states=None,
+        encoder_attention_mask=None,
+        mode: str = "multi_modal",
+        causal: bool = False,
+        cache=None,                # list[dict] per executed layer, or None
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        if mode == "fusion":
+            lo, hi = cfg.fusion_layer, cfg.num_layers
+            if encoder_embeds is None:
+                raise ValueError("mode='fusion' requires encoder_embeds")
+            x = encoder_embeds.astype(self.dtype)
+        else:
+            lo, hi = 0, (cfg.fusion_layer if mode == "text" else cfg.num_layers)
+            if encoder_embeds is not None:
+                x = encoder_embeds.astype(self.dtype)
+            else:
+                x = self.embeddings(input_ids, deterministic=deterministic)
+
+        causal = causal or cfg.is_decoder
+        new_caches = [] if cache is not None else None
+        for li, i in enumerate(range(lo, hi)):
+            layer = self.layers[i]
+            layer_cache = cache[li] if cache is not None else None
+            out = layer(
+                x,
+                attention_mask=attention_mask,
+                encoder_hidden_states=encoder_hidden_states,
+                encoder_attention_mask=encoder_attention_mask,
+                causal=causal,
+                cache=layer_cache,
+                deterministic=deterministic,
+            )
+            if layer_cache is not None:
+                x, layer_new_cache = out
+                new_caches.append(layer_new_cache)
+            else:
+                x = out
+        if cache is not None:
+            return x, new_caches
+        return x
+
+
+class BertMLMHead(nn.Module):
+    """transform(dense+gelu+LN) → vocab decoder; logits only at masked slots
+    when masked_pos is given (reference xbert.py:789-827,1591-1673)."""
+
+    config: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden, masked_pos=None):
+        cfg = self.config
+        if masked_pos is not None:
+            # (B, M) gather before the vocab matmul — the reference's key
+            # optimization for MLM cost (xbert.py:1633-1640).
+            hidden = jnp.take_along_axis(
+                hidden, masked_pos[:, :, None].astype(jnp.int32), axis=1
+            )
+        dim = cfg.embedding_dim or cfg.hidden_size
+        h = nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="transform_dense")(hidden)
+        h = gelu_exact(h)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="transform_ln")(
+                             h.astype(jnp.float32)).astype(self.dtype)
+        logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="decoder")(h)
+        return logits.astype(jnp.float32)
