@@ -1,0 +1,125 @@
+"""Import-parity: a tiny torch model with reference state-dict naming must
+produce identical activations after conversion into the flax XVLM."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from x2vlm_tpu.models import (  # noqa: E402
+    BEiT2Config, BertConfig, XVLMConfig, XVLMForPretrain,
+)
+from x2vlm_tpu.models.heads import pretrain_init_inputs  # noqa: E402
+from x2vlm_tpu.train.checkpoint import (  # noqa: E402
+    convert_xvlm_state_dict, merge_imported,
+)
+from tests.golden_torch import GoldenXVLM  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    torch.manual_seed(0)
+    golden = GoldenXVLM().eval()
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=100, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0, attn_dropout=0.0,
+                        max_position_embeddings=64),
+        embed_dim=16)
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(0, 100, (2, 8)).astype(np.int32)
+    atts = np.ones((2, 8), np.int32)
+    atts[1, 6:] = 0  # padding
+
+    batch = {
+        "image": jnp.asarray(image),
+        "text_ids": jnp.asarray(ids),
+        "text_atts": jnp.asarray(atts),
+        "text_ids_masked": jnp.asarray(ids),
+        "masked_pos": jnp.zeros((2, 2), jnp.int32),
+        "masked_ids": jnp.zeros((2, 2), jnp.int32),
+    }
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pretrain_init_inputs(cfg), rng=jax.random.PRNGKey(2),
+        ret_bbox_loss=True)
+
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    tree, unused = convert_xvlm_state_dict(sd, vision_depth=2)
+    params, missing = merge_imported(init, tree)
+
+    with torch.no_grad():
+        ref = golden(torch.from_numpy(image).permute(0, 3, 1, 2),
+                     torch.from_numpy(ids.astype(np.int64)),
+                     torch.from_numpy(atts.astype(np.float32)))
+    ref = {k: v.numpy() for k, v in ref.items()}
+    return model, params, batch, ref, unused, missing
+
+
+def test_all_keys_consumed(parity_setup):
+    _, _, _, _, unused, missing = parity_setup
+    # buffers (rel-pos index) excluded by the converter; nothing else may be left
+    assert unused == [], unused
+    assert missing == [], missing
+
+
+def test_vision_parity(parity_setup):
+    model, params, batch, ref, _, _ = parity_setup
+    embeds, _ = model.apply(
+        params, batch["image"],
+        method=lambda m, img: m.base.get_vision_embeds(img, deterministic=True))
+    np.testing.assert_allclose(np.asarray(embeds), ref["img_embeds"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_text_and_cross_parity(parity_setup):
+    model, params, batch, ref, _, _ = parity_setup
+    text = model.apply(
+        params, batch["text_ids"], batch["text_atts"],
+        method=lambda m, i, a: m.base.get_text_embeds(i, a, deterministic=True))
+    np.testing.assert_allclose(np.asarray(text), ref["text_embeds"],
+                               rtol=1e-4, atol=1e-4)
+
+    def cross_fn(m, img, ids, atts):
+        img_embeds, img_atts = m.base.get_vision_embeds(img, deterministic=True)
+        return m.base.get_cross_embeds(img_embeds, img_atts, text_ids=ids,
+                                       text_atts=atts, deterministic=True)
+
+    cross = model.apply(params, batch["image"], batch["text_ids"],
+                        batch["text_atts"], method=cross_fn)
+    np.testing.assert_allclose(np.asarray(cross), ref["cross"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_features_and_heads_parity(parity_setup):
+    model, params, batch, ref, _, _ = parity_setup
+
+    def feats_fn(m, img, ids, atts):
+        img_embeds, img_atts = m.base.get_vision_embeds(img, deterministic=True)
+        text_embeds = m.base.get_text_embeds(ids, atts, deterministic=True)
+        fi, ft = m.base.get_features(img_embeds, text_embeds)
+        cross = m.base.get_cross_embeds(img_embeds, img_atts, text_ids=ids,
+                                        text_atts=atts, deterministic=True)
+        itm = m.base.itm_head(cross[:, 0])
+        mlm = m.base.mlm_head(cross)
+        import jax.nn
+        bbox = jax.nn.sigmoid(m.base.bbox_head(cross[:, 0]).astype(jnp.float32))
+        return fi, ft, itm, mlm, bbox
+
+    fi, ft, itm, mlm, bbox = model.apply(
+        params, batch["image"], batch["text_ids"], batch["text_atts"],
+        method=feats_fn)
+    np.testing.assert_allclose(np.asarray(fi), ref["img_feat"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ft), ref["txt_feat"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(itm), ref["itm"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mlm), ref["mlm"], rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bbox), ref["bbox"], rtol=1e-4, atol=1e-4)

@@ -19,7 +19,30 @@ import jax.numpy as jnp
 
 from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig
 
-__all__ = ["XVLMForPretrain", "XVLMForRetrieval"]
+__all__ = ["XVLMForPretrain", "XVLMForRetrieval", "pretrain_init_inputs"]
+
+
+def pretrain_init_inputs(config: XVLMConfig, batch_size: int = 2,
+                         seq_len: int = 8, n_mask: int = 2):
+    """A synthetic region-stream batch exercising *every* parameterized path
+    (vision, text, fusion, MLM/ITM/bbox heads, projections). linen creates
+    params lazily at init-trace time, so `model.init` must run with this batch
+    and ``ret_bbox_loss=True`` for the full tree to exist."""
+    res = config.vision.image_res
+    S = config.vision.num_patches + 1
+    batch = {
+        "image": jnp.zeros((1, res, res, 3), jnp.float32),
+        "text_ids": jnp.zeros((batch_size, seq_len), jnp.int32),
+        "text_atts": jnp.ones((batch_size, seq_len), jnp.int32),
+        "text_ids_masked": jnp.zeros((batch_size, seq_len), jnp.int32),
+        "masked_pos": jnp.zeros((batch_size, n_mask), jnp.int32),
+        "masked_ids": jnp.zeros((batch_size, n_mask), jnp.int32),
+        "idx_to_group_img": jnp.zeros((batch_size,), jnp.int32),
+        "image_atts": jnp.ones((batch_size, S), jnp.float32),
+        "target_bbox": jnp.full((batch_size, 4), 0.5, jnp.float32),
+        "is_image": jnp.zeros((batch_size,), jnp.float32),
+    }
+    return batch
 
 
 class XVLMForPretrain(nn.Module):

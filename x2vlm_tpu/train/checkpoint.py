@@ -1,0 +1,278 @@
+"""Checkpointing: orbax-based native save/restore with true resume, plus the
+``.th`` import adapter for reference X2-VLM checkpoints.
+
+The import adapter replaces the reference's checkpoint-surgery layer
+(models/xvlm.py:38-119,390-460, beit2.py:473-651): it maps the reference's
+torch state-dict names onto this framework's flax tree, transposing Linear
+weights, splitting BEiT-2's fused qkv, and (optionally) interpolating
+relative-position tables across image resolutions.
+
+Unlike the reference (which saves optimizer state but never restores it —
+`training_state_latest.th` has no consumer; SURVEY §5), `save_train_state` /
+`restore_train_state` round-trip params + optimizer state + step.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "convert_xvlm_state_dict",
+    "load_torch_checkpoint",
+    "merge_imported",
+    "save_train_state",
+    "restore_train_state",
+]
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch ``.th``/``.pth`` checkpoint into numpy (host-side; torch
+    runs CPU-only here). Unwraps the common {'model': ...} / {'module': ...}
+    containers (reference utils/checkpointer.py, xvlm.py:393-396)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "module", "state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if hasattr(v, "numpy"):
+            out[k.replace("module.", "")] = v.detach().float().numpy()
+    return out
+
+
+def _t(x):  # torch Linear weight (out, in) → flax kernel (in, out)
+    return np.ascontiguousarray(x.T)
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _interp_rel_pos_table(table: np.ndarray, src_window: int, dst_window: int
+                          ) -> np.ndarray:
+    """Resize a BEiT relative-position bias table from a (2*sw-1)² grid to a
+    (2*dw-1)² grid (bilinear over the 2-D offset lattice), keeping the 3
+    cls rows. The reference uses a geometric-progression grid + cubic
+    interpolation (beit2.py:473-604); bilinear over the regular lattice is the
+    standard alternative (as used for Swin) and matches within noise for the
+    fine-tune resolutions used here."""
+    src = 2 * src_window - 1
+    dst = 2 * dst_window - 1
+    n_extra = 3
+    heads = table.shape[1]
+    body = table[:-n_extra].reshape(src, src, heads)
+    # bilinear resize via jax.image on host
+    resized = jax.image.resize(jnp.asarray(body), (dst, dst, heads), "bilinear")
+    resized = np.asarray(resized).reshape(dst * dst, heads)
+    return np.concatenate([resized, table[-n_extra:]], axis=0)
+
+
+def convert_xvlm_state_dict(
+    sd: Dict[str, np.ndarray],
+    *,
+    vision_depth: int,
+    dst_window: Optional[int] = None,
+    load_mlm_head: bool = True,
+) -> Dict[str, Any]:
+    """Convert a reference XVLM(Base) torch state dict to this framework's
+    param tree (contents of ``params['base']``). Returns (tree, unused_keys).
+
+    Handles: BEiT-2 vision towers (fused-qkv split, q/v-only bias, per-block
+    rel-pos tables with optional window interpolation), the 18-layer
+    BERT text+fusion stack, projection/ITM/bbox/MLM heads, temp.
+    """
+    tree: Dict[str, Any] = {}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    # ---- vision encoder (BEiT-2) ----
+    if "vision_encoder.cls_token" in sd:
+        _set(tree, "vision_encoder/cls_token", take("vision_encoder.cls_token"))
+    if "vision_encoder.patch_embed.proj.weight" in sd:
+        w = take("vision_encoder.patch_embed.proj.weight")  # (C, 3, p, p)
+        _set(tree, "vision_encoder/patch_embed/kernel", w.transpose(2, 3, 1, 0))
+        _set(tree, "vision_encoder/patch_embed/bias",
+             take("vision_encoder.patch_embed.proj.bias"))
+    for ln_name in ("fc_norm",):
+        wk = f"vision_encoder.{ln_name}.weight"
+        if wk in sd:
+            _set(tree, f"vision_encoder/{ln_name}/scale", take(wk))
+            _set(tree, f"vision_encoder/{ln_name}/bias",
+                 take(f"vision_encoder.{ln_name}.bias"))
+
+    for i in range(vision_depth):
+        p = f"vision_encoder.blocks.{i}"
+        q = f"vision_encoder/block_{i}"
+        if f"{p}.norm1.weight" not in sd:
+            continue
+        _set(tree, f"{q}/norm1/scale", take(f"{p}.norm1.weight"))
+        _set(tree, f"{q}/norm1/bias", take(f"{p}.norm1.bias"))
+        _set(tree, f"{q}/norm2/scale", take(f"{p}.norm2.weight"))
+        _set(tree, f"{q}/norm2/bias", take(f"{p}.norm2.bias"))
+        qkv = take(f"{p}.attn.qkv.weight")  # (3C, C)
+        c = qkv.shape[0] // 3
+        _set(tree, f"{q}/attn/query/kernel", _t(qkv[:c]))
+        _set(tree, f"{q}/attn/key/kernel", _t(qkv[c:2 * c]))
+        _set(tree, f"{q}/attn/value/kernel", _t(qkv[2 * c:]))
+        _set(tree, f"{q}/attn/query/bias", take(f"{p}.attn.q_bias"))
+        _set(tree, f"{q}/attn/value/bias", take(f"{p}.attn.v_bias"))
+        _set(tree, f"{q}/attn/out/kernel", _t(take(f"{p}.attn.proj.weight")))
+        _set(tree, f"{q}/attn/out/bias", take(f"{p}.attn.proj.bias"))
+        _set(tree, f"{q}/gamma_1", take(f"{p}.gamma_1"))
+        _set(tree, f"{q}/gamma_2", take(f"{p}.gamma_2"))
+        _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{p}.mlp.fc1.weight")))
+        _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.mlp.fc1.bias"))
+        _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{p}.mlp.fc2.weight")))
+        _set(tree, f"{q}/mlp/fc2/bias", take(f"{p}.mlp.fc2.bias"))
+        table = take(f"{p}.attn.relative_position_bias_table")
+        if dst_window is not None:
+            src_window = int((np.sqrt(table.shape[0] - 3) + 1) / 2)
+            if src_window != dst_window:
+                table = _interp_rel_pos_table(table, src_window, dst_window)
+        _set(tree, f"vision_encoder/rel_pos_table_{i}", table)
+        used.add(f"{p}.attn.relative_position_index")  # static buffer
+
+    # ---- text encoder (xbert fork; roberta shares the schema minus '.bert') ----
+    tprefix = "text_encoder.bert." if any(
+        k.startswith("text_encoder.bert.") for k in sd) else "text_encoder."
+
+    def tkey(suffix):
+        return tprefix + suffix
+
+    emb_map = {
+        "embeddings.word_embeddings.weight": "text_encoder/embeddings/word_embeddings/embedding",
+        "embeddings.position_embeddings.weight": "text_encoder/embeddings/position_embeddings/embedding",
+        "embeddings.token_type_embeddings.weight": "text_encoder/embeddings/token_type_embeddings/embedding",
+    }
+    for src, dst in emb_map.items():
+        if tkey(src) in sd:
+            _set(tree, dst, take(tkey(src)))
+    if tkey("embeddings.LayerNorm.weight") in sd:
+        _set(tree, "text_encoder/embeddings/ln/scale", take(tkey("embeddings.LayerNorm.weight")))
+        _set(tree, "text_encoder/embeddings/ln/bias", take(tkey("embeddings.LayerNorm.bias")))
+
+    layer_re = re.compile(re.escape(tkey("encoder.layer.")) + r"(\d+)\.")
+    n_layers = 1 + max(
+        (int(m.group(1)) for k in sd if (m := layer_re.match(k))), default=-1)
+    for i in range(n_layers):
+        p = tkey(f"encoder.layer.{i}")
+        q = f"text_encoder/layer_{i}"
+        for attn_src, attn_dst in (("attention.self", "self_attn"),
+                                   ("crossattention.self", "cross_attn")):
+            if f"{p}.{attn_src}.query.weight" not in sd:
+                continue
+            for proj in ("query", "key", "value"):
+                _set(tree, f"{q}/{attn_dst}/{proj}/kernel",
+                     _t(take(f"{p}.{attn_src}.{proj}.weight")))
+                _set(tree, f"{q}/{attn_dst}/{proj}/bias",
+                     take(f"{p}.{attn_src}.{proj}.bias"))
+            out_src = attn_src.replace(".self", ".output")
+            _set(tree, f"{q}/{attn_dst}/out/kernel",
+                 _t(take(f"{p}.{out_src}.dense.weight")))
+            _set(tree, f"{q}/{attn_dst}/out/bias", take(f"{p}.{out_src}.dense.bias"))
+            ln_dst = "attn_ln" if attn_dst == "self_attn" else "cross_ln"
+            _set(tree, f"{q}/{ln_dst}/scale", take(f"{p}.{out_src}.LayerNorm.weight"))
+            _set(tree, f"{q}/{ln_dst}/bias", take(f"{p}.{out_src}.LayerNorm.bias"))
+        if f"{p}.intermediate.dense.weight" in sd:
+            _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{p}.intermediate.dense.weight")))
+            _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.intermediate.dense.bias"))
+            _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{p}.output.dense.weight")))
+            _set(tree, f"{q}/mlp/fc2/bias", take(f"{p}.output.dense.bias"))
+            _set(tree, f"{q}/mlp_ln/scale", take(f"{p}.output.LayerNorm.weight"))
+            _set(tree, f"{q}/mlp_ln/bias", take(f"{p}.output.LayerNorm.bias"))
+
+    # ---- MLM head (cls.predictions / lm_head for roberta) ----
+    if load_mlm_head:
+        for hp in ("text_encoder.cls.predictions.", "text_encoder.lm_head."):
+            if hp + "transform.dense.weight" in sd:
+                _set(tree, "mlm_head/transform_dense/kernel", _t(take(hp + "transform.dense.weight")))
+                _set(tree, "mlm_head/transform_dense/bias", take(hp + "transform.dense.bias"))
+                _set(tree, "mlm_head/transform_ln/scale", take(hp + "transform.LayerNorm.weight"))
+                _set(tree, "mlm_head/transform_ln/bias", take(hp + "transform.LayerNorm.bias"))
+                _set(tree, "mlm_head/decoder/kernel", _t(take(hp + "decoder.weight")))
+                bias_key = hp + "bias" if hp + "bias" in sd else hp + "decoder.bias"
+                _set(tree, "mlm_head/decoder/bias", take(bias_key))
+                used.add(hp + "decoder.bias")
+                used.add(hp + "bias")
+
+    # ---- projections / heads / temp ----
+    for name in ("vision_proj", "text_proj"):
+        if f"{name}.weight" in sd:
+            _set(tree, f"{name}/kernel", _t(take(f"{name}.weight")))
+            _set(tree, f"{name}/bias", take(f"{name}.bias"))
+    if "temp" in sd:
+        _set(tree, "temp", take("temp").reshape(()))
+    for head in ("itm_head", "bbox_head"):
+        if f"{head}.0.weight" in sd:
+            _set(tree, f"{head}/fc1/kernel", _t(take(f"{head}.0.weight")))
+            _set(tree, f"{head}/fc1/bias", take(f"{head}.0.bias"))
+            _set(tree, f"{head}/ln/scale", take(f"{head}.1.weight"))
+            _set(tree, f"{head}/ln/bias", take(f"{head}.1.bias"))
+            _set(tree, f"{head}/fc2/kernel", _t(take(f"{head}.3.weight")))
+            _set(tree, f"{head}/fc2/bias", take(f"{head}.3.bias"))
+
+    unused = sorted(set(sd) - used)
+    return tree, unused
+
+
+def merge_imported(init_params, imported_base: Dict[str, Any], scope: str = "base"):
+    """Overlay an imported tree onto freshly-initialized params, checking
+    shapes. Missing keys keep their fresh init (== reference `strict=False`
+    load + init_params tracking, xvlm.py:608-613). Returns (params, missing)."""
+    import flax
+
+    params = flax.core.unfreeze(init_params)
+    target = params["params"][scope]
+    missing = []
+
+    def walk(dst, src, path):
+        for k, v in dst.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                walk(v, src.get(k, {}) if isinstance(src, dict) else {}, p)
+            elif isinstance(src, dict) and k in src:
+                new = np.asarray(src[k])
+                if new.shape != v.shape:
+                    raise ValueError(f"shape mismatch at {p}: ckpt {new.shape} vs model {v.shape}")
+                dst[k] = jnp.asarray(new, v.dtype)
+            else:
+                missing.append(p)
+
+    walk(target, imported_base, "")
+    return params, missing
+
+
+# ---------- native checkpointing (orbax) ----------
+
+def save_train_state(ckpt_dir: str, state, step: int):
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def restore_train_state(ckpt_dir: str, abstract_state, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return None, None
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        return restored, step
