@@ -1,0 +1,86 @@
+"""Benchmark: image-text pair encoding throughput (retrieval ITC encode path)
+on X2VLM-base — BEiT-2-base @224 vision tower + 12-layer BERT text tower +
+contrastive projections, bf16, jitted.
+
+Measures *device* throughput: the encode loop runs on-device via
+``lax.fori_loop`` with per-iteration input perturbation (the axon tunnel
+backend dedupes identical dispatches and ships host buffers per call, so
+host-side loops measure the network, not the chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Baseline (BASELINE.md north star): 2,000 pairs/sec/chip on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from x2vlm_tpu.models import XVLMConfig, XVLMForRetrieval
+
+    cfg = XVLMConfig.base(image_res=224)
+    model = XVLMForRetrieval(cfg, dtype=jnp.bfloat16)
+
+    batch = 128
+    seq = 40
+    iters = 10
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16)
+    text_ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (batch, seq)),
+                           jnp.int32)
+    text_atts = jnp.ones((batch, seq), jnp.int32)
+
+    params = jax.jit(
+        lambda k: model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(1)},
+            image, text_ids, text_atts, jnp.arange(batch, dtype=jnp.int32),
+            rng=jax.random.PRNGKey(2), deterministic=True)
+    )(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def encode_loop(params, image, text_ids, text_atts, seed):
+        def body(i, carry):
+            img = image + (seed + i.astype(jnp.float32) * 1e-6).astype(jnp.bfloat16)
+            ids = jnp.roll(text_ids, i, axis=0)
+            _, img_feat = model.apply(params, img, method=model.encode_images)
+            _, txt_feat = model.apply(params, ids, text_atts,
+                                      method=model.encode_texts)
+            # consume every row so XLA cannot dead-code-eliminate batch rows
+            return carry + jnp.sum(img_feat).astype(jnp.float32) + \
+                jnp.sum(txt_feat).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, seed)
+
+    # NOTE: on the axon tunnel backend block_until_ready can return before the
+    # computation finishes and identical dispatches may be served from a
+    # cache — sync by *fetching a value* and chain reps through the result.
+    val = float(encode_loop(params, image, text_ids, text_atts, jnp.float32(0.0)))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        val = float(encode_loop(params, image, text_ids, text_atts,
+                                jnp.float32(val * 1e-9)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    pairs_per_sec = batch * iters / dt
+    n_chips = max(jax.device_count(), 1)
+    value = pairs_per_sec / n_chips
+    print(json.dumps({
+        "metric": "retrieval_encode_pairs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / 2000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x2vlm_tpu.core import create_mesh, global_mesh, shard_batch
+from x2vlm_tpu.models import BEiT2Config, BertConfig, XVLMConfig, XVLMForRetrieval
+from x2vlm_tpu.train import (
+    create_optimizer, create_train_state, lr_schedule, make_train_step,
+    param_labels,
+)
+
+
+def tiny_cfg():
+    return XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=100, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0, attn_dropout=0.0),
+        embed_dim=16)
+
+
+class RetrievalWrapper(XVLMForRetrieval):
+    """Adapts the (batch-dict, rng) train-step calling convention."""
+
+    def __call__(self, batch, rng=None, deterministic=False):
+        return super().__call__(batch["image"], batch["text_ids"],
+                                batch["text_atts"], batch["idx"], rng=rng,
+                                deterministic=deterministic)
+
+
+def _batch(rng, bs=16):
+    return {
+        "image": rng.standard_normal((bs, 32, 32, 3)).astype(np.float32),
+        "text_ids": rng.integers(0, 100, (bs, 8)).astype(np.int32),
+        "text_atts": np.ones((bs, 8), np.int32),
+        "idx": np.arange(bs).astype(np.int32),
+    }
+
+
+def test_lr_schedule_shape():
+    sched = lr_schedule(1e-4, total_steps=100, warmup_steps=10, min_rate=0.1)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100)), 1e-5, rtol=1e-4)
+    assert float(sched(5)) == pytest.approx(5e-5, rel=1e-5)
+
+
+def test_param_labels_groups():
+    cfg = tiny_cfg()
+    model = RetrievalWrapper(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batch(rng, bs=4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))["params"]
+    labels = param_labels(params, fusion_layer=cfg.text.fusion_layer)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    got = {"/".join(str(p.key) for p in path): lab for path, lab in flat}
+    assert got["base/vision_encoder/cls_token"] == "vision"
+    assert got["base/text_encoder/layer_0/self_attn/query/kernel"] == "text"
+    assert got["base/text_encoder/layer_3/cross_attn/query/kernel"] == "cross"
+    assert got["base/vision_proj/kernel"] == "other"
+
+
+def test_train_step_runs_and_improves_on_mesh():
+    cfg = tiny_cfg()
+    model = RetrievalWrapper(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    raw = _batch(rng, bs=16)
+
+    mesh = create_mesh()
+    with global_mesh(mesh):
+        batch = shard_batch(raw)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, rng=jax.random.PRNGKey(2))
+        labels = param_labels(params["params"], fusion_layer=cfg.text.fusion_layer)
+        tx = create_optimizer(
+            params["params"], lr_schedule(1e-3, 100, warmup_steps=0),
+            labels=labels)
+        state = create_train_state(params, tx)
+        step_fn = make_train_step(model, tx, donate=False)
+
+        losses = []
+        key = jax.random.PRNGKey(7)
+        for i in range(8):
+            state, metrics = step_fn(state, batch, key)
+            losses.append(float(metrics["loss_total"]))
+        assert np.isfinite(losses).all()
+        # overfit one batch: loss should drop
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 8
+
+
+def test_temp_projection_stays_in_bounds():
+    cfg = tiny_cfg()
+    model = RetrievalWrapper(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batch(rng, bs=8))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    tx = create_optimizer(params["params"], lr_schedule(0.5, 100, warmup_steps=0))
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model, tx, donate=False)
+    for _ in range(5):  # huge lr would push temp out of range without projection
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    temp = float(state.params["base"]["temp"])
+    assert 0.001 <= temp <= 0.5
