@@ -1,0 +1,11 @@
+from x2vlm_tpu.data.masking import TextMaskingGenerator, pad_masks, IGNORE_INDEX
+from x2vlm_tpu.data.tokenization import build_tokenizer, TextPreprocessor, pre_caption
+from x2vlm_tpu.data.transforms import (
+    pretrain_transform, train_transform, test_transform, box_transform,
+    RandomAugment, normalize, random_resized_crop, hflip,
+)
+from x2vlm_tpu.data.streaming import DistLineReader, list_data_files, split_shard
+from x2vlm_tpu.data.retrieval import RetrievalTrainDataset, RetrievalEvalDataset
+from x2vlm_tpu.data.loader import (
+    collate, batch_indices, MapLoader, iter_batches, Prefetcher,
+)
