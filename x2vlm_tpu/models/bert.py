@@ -79,14 +79,17 @@ class BertEmbeddings(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, input_ids, deterministic: bool = True):
+    def __call__(self, input_ids, position_ids=None, deterministic: bool = True):
         cfg = self.config
         B, S = input_ids.shape
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                         param_dtype=jnp.float32, name="word_embeddings")(input_ids)
-        pos_ids = jnp.arange(cfg.position_offset, cfg.position_offset + S)
+        if position_ids is None:
+            position_ids = jnp.arange(cfg.position_offset, cfg.position_offset + S)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="position_embeddings")(pos_ids)[None]
+                       param_dtype=jnp.float32, name="position_embeddings")(position_ids)
+        if pos.ndim == 2:
+            pos = pos[None]
         tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
                        param_dtype=jnp.float32, name="token_type_embeddings")(
                            jnp.zeros((1, S), jnp.int32))
@@ -111,10 +114,11 @@ class BertLayer(nn.Module):
         self,
         x,
         attention_mask=None,            # (B, S) 1=keep
+        attention_matrix=None,          # (B, Sq, Skv) full mask (UniLM tril)
         encoder_hidden_states=None,     # (B, S_img, encoder_width)
         encoder_attention_mask=None,    # (B, S_img)
         causal: bool = False,
-        cache=None,                     # {"k": ..., "v": ...} self-attn KV cache
+        cache=None,                     # {"k","v","index"} self-attn KV cache
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -128,10 +132,17 @@ class BertLayer(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )
+        full_mask = None
+        if attention_matrix is not None:
+            full_mask = attention_matrix[:, None].astype(bool)
+            if attention_mask is not None:
+                full_mask = full_mask & attention_mask[:, None, None, :].astype(bool)
         new_cache = None
         if cache is not None:
             h, new_cache = attn(x, key_mask=attention_mask, causal=causal,
                                 cache=cache, deterministic=deterministic)
+        elif full_mask is not None:
+            h = attn(x, mask=full_mask, deterministic=deterministic)
         else:
             h = attn(x, key_mask=attention_mask, causal=causal,
                      deterministic=deterministic)
@@ -185,6 +196,8 @@ class BertEncoder(nn.Module):
         self,
         input_ids=None,
         attention_mask=None,
+        attention_matrix=None,     # (B, Sq, Skv) full mask (UniLM training)
+        position_ids=None,
         encoder_embeds=None,
         encoder_hidden_states=None,
         encoder_attention_mask=None,
@@ -204,7 +217,8 @@ class BertEncoder(nn.Module):
             if encoder_embeds is not None:
                 x = encoder_embeds.astype(self.dtype)
             else:
-                x = self.embeddings(input_ids, deterministic=deterministic)
+                x = self.embeddings(input_ids, position_ids=position_ids,
+                                    deterministic=deterministic)
 
         causal = causal or cfg.is_decoder
         new_caches = [] if cache is not None else None
@@ -214,6 +228,7 @@ class BertEncoder(nn.Module):
             out = layer(
                 x,
                 attention_mask=attention_mask,
+                attention_matrix=attention_matrix,
                 encoder_hidden_states=encoder_hidden_states,
                 encoder_attention_mask=encoder_attention_mask,
                 causal=causal,

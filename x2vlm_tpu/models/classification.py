@@ -1,0 +1,118 @@
+"""Classification heads (reference models/model_classification.py).
+
+- XVLMForClassification: CLS of a text-only / image-only / cross encoding →
+  2-layer MLP head; MSE when num_labels == 1 (reference :16-44)
+- XVLMForVQAClassification: answer-vocabulary classifier over the cross CLS
+  (video QA: VQA_msrvtt/msvd), optional KD target (reference :55-86)
+- XVLMForNLVR: one text vs TWO images — two fusion passes, concat CLS → head
+  (reference :89-117). Covers NLVR2 and MARVL.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, cross_entropy
+
+__all__ = ["XVLMForClassification", "XVLMForNLVR"]
+
+
+class ClsHead(nn.Module):
+    """dense → ReLU → dense (reference model_classification.py:22-27)."""
+
+    num_labels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = jax.nn.relu(x)
+        return nn.Dense(self.num_labels, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="fc2")(x)
+
+
+class XVLMForClassification(nn.Module):
+    config: XVLMConfig
+    num_labels: int
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.base = XVLMBase(self.config, dtype=self.dtype)
+        self.cls_head = ClsHead(self.num_labels, dtype=self.dtype)
+
+    def logits(self, text_ids, text_atts, image=None, deterministic=True):
+        if image is None:
+            embeds = self.base.text_encoder(
+                text_ids, attention_mask=text_atts, mode="multi_modal",
+                deterministic=deterministic)
+        else:
+            image_embeds, image_atts = self.base.get_vision_embeds(
+                image, deterministic=deterministic)
+            embeds = self.base.get_cross_embeds(
+                image_embeds, image_atts, text_ids=text_ids,
+                text_atts=text_atts, deterministic=deterministic)
+        return self.cls_head(embeds[:, 0, :])
+
+    def __call__(self, batch, rng=None, deterministic=False):
+        logits = self.logits(batch["text_ids"], batch["text_atts"],
+                             image=batch.get("image"),
+                             deterministic=deterministic)
+        labels = batch["labels"]
+        if self.num_labels == 1:
+            loss = jnp.mean((logits[:, 0] - labels.astype(jnp.float32)) ** 2)
+        elif "answer_weights" in batch and batch["answer_weights"] is not None:
+            # soft targets (video-QA KD / multi-answer weighting)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(jnp.sum(logp * batch["answer_weights"], axis=-1))
+        else:
+            loss = cross_entropy(logits, labels)
+        return {"loss_cls": loss}
+
+    def predict(self, batch):
+        return self.logits(batch["text_ids"], batch["text_atts"],
+                           image=batch.get("image"), deterministic=True)
+
+
+class XVLMForNLVR(nn.Module):
+    """Two images per text: both fusion passes share towers; CLS pair → head
+    (reference model_classification.py:89-117)."""
+
+    config: XVLMConfig
+    num_labels: int = 2
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.base = XVLMBase(self.config, dtype=self.dtype)
+        self.cls_head = ClsHead(self.num_labels, dtype=self.dtype)
+
+    def logits(self, image0, image1, text_ids, text_atts, deterministic=True):
+        # one vision pass over both images (batched), then two fusion passes
+        both = jnp.concatenate([image0, image1], axis=0)
+        embeds, atts = self.base.get_vision_embeds(both, deterministic=deterministic)
+        e0, e1 = jnp.split(embeds, 2, axis=0)
+        a0, a1 = jnp.split(atts, 2, axis=0)
+        text_embeds = self.base.get_text_embeds(text_ids, text_atts,
+                                                deterministic=deterministic)
+        c0 = self.base.get_cross_embeds(e0, a0, text_embeds=text_embeds,
+                                        text_atts=text_atts,
+                                        deterministic=deterministic)[:, 0, :]
+        c1 = self.base.get_cross_embeds(e1, a1, text_embeds=text_embeds,
+                                        text_atts=text_atts,
+                                        deterministic=deterministic)[:, 0, :]
+        return self.cls_head(jnp.concatenate([c0, c1], axis=-1))
+
+    def __call__(self, batch, rng=None, deterministic=False):
+        logits = self.logits(batch["image0"], batch["image1"],
+                             batch["text_ids"], batch["text_atts"],
+                             deterministic=deterministic)
+        return {"loss_cls": cross_entropy(logits, batch["labels"])}
+
+    def predict(self, batch):
+        return self.logits(batch["image0"], batch["image1"],
+                           batch["text_ids"], batch["text_atts"],
+                           deterministic=True)

@@ -127,10 +127,23 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
 
         if cache is not None:
-            # Incremental decode: concatenate cached K/V (UniLM history_states
-            # semantics, reference xbert.py:349-353).
-            k = jnp.concatenate([cache["k"], k], axis=1)
-            v = jnp.concatenate([cache["v"], v], axis=1)
+            # Static-shape incremental decode (replaces the reference's
+            # history_states concatenation, xbert.py:349-353, whose growing
+            # shapes would force a recompile per step on TPU): fixed (B, Lmax)
+            # K/V buffers, new projections written at cache["index"], queries
+            # masked to attend positions <= index + own offset.
+            index = cache["index"]
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                             (0, index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                             (0, index, 0, 0))
+            Lmax = k.shape[1]
+            kv_pos = jnp.arange(Lmax)[None, None, None, :]
+            q_pos = (index + jnp.arange(Sq))[None, None, :, None]
+            mask = kv_pos <= q_pos  # (1, 1, Sq, Lmax)
+            mask = jnp.broadcast_to(mask, (B, 1, Sq, Lmax))
+            key_mask = None
+            causal = False
 
         dropout_rng = None
         if self.attn_dropout_rate > 0.0 and not deterministic:
@@ -150,5 +163,7 @@ class MultiHeadAttention(nn.Module):
         if self.proj_dropout_rate > 0.0:
             out = nn.Dropout(self.proj_dropout_rate)(out, deterministic=deterministic)
         if cache is not None:
-            return out, {"k": k, "v": v}
+            # "index" is managed by the caller (UniLM decode re-writes the
+            # trailing [MASK] slot each step; causal decode advances by Sq).
+            return out, {"k": k, "v": v, "index": cache["index"]}
         return out
