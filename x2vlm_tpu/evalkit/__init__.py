@@ -1,0 +1,3 @@
+from x2vlm_tpu.evalkit.vqa import normalize_answer, vqa_accuracy, vqa_eval, exact_match_accuracy
+from x2vlm_tpu.evalkit.grounding import grounding_eval_bbox, iou_xyxy, cxcywh_norm_to_xyxy_pixels
+from x2vlm_tpu.evalkit.caption import bleu, cider_d, caption_eval
