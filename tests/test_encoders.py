@@ -1,0 +1,117 @@
+"""CLIP-ViT / Swin / Resampler / XVLMPlus variants."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x2vlm_tpu.models import (
+    BertConfig, BEiT2Config, CLIPViT, CLIPViTConfig, PerceiverResampler,
+    SwinConfig, SwinTransformer, XVLMPlusConfig, XVLMPlusForPretrain,
+    split_params_to_plus,
+)
+
+
+def test_clip_vit_shapes(rng):
+    cfg = CLIPViTConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                        num_heads=2, intermediate_size=64)
+    model = CLIPViT(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 5, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_shapes(rng):
+    cfg = SwinConfig(image_res=32, patch_size=4, embed_dim=16,
+                     depths=(1, 1), num_heads=(2, 4), window_size=4,
+                     drop_path_rate=0.0)
+    model = SwinTransformer(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    # 32/4 = 8 → one merge → 4x4 = 16 patches, width 32
+    assert out.shape == (2, 17, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # token 0 is the mean of the patches
+    np.testing.assert_allclose(np.asarray(out[:, 0]),
+                               np.asarray(out[:, 1:].mean(axis=1)), atol=1e-5)
+
+
+def test_swin_shifted_window_mask_runs(rng):
+    # larger grid so shift > 0 actually engages (8x8 grid, window 4, shift 2)
+    cfg = SwinConfig(image_res=32, patch_size=4, embed_dim=16,
+                     depths=(2,), num_heads=(2,), window_size=4,
+                     drop_path_rate=0.0)
+    model = SwinTransformer(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 65, 16)
+
+
+def test_resampler(rng):
+    model = PerceiverResampler(dim=32, depth=1, num_latents=8, num_heads=2,
+                               head_dim=16, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 3, 10, 32)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 8, 32)
+
+
+def _plus_cfg():
+    return XVLMPlusConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=3,
+                        fusion_layer=3, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0, attn_dropout=0.0),
+        embed_dim=16, num_cross_layers=2)
+
+
+def test_xvlm_plus_multimodal_and_para_text(rng):
+    cfg = _plus_cfg()
+    model = XVLMPlusForPretrain(cfg, dtype=jnp.float32)
+    B, L = 4, 8
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32),
+        "text_atts": jnp.ones((B, L), jnp.int32),
+        "text_ids_masked": jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32),
+        "masked_pos": jnp.asarray(rng.integers(0, L, (B, 2)), jnp.int32),
+        "masked_ids": jnp.asarray(rng.integers(1, 31, (B, 2)), jnp.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    losses = model.apply(variables, batch, rng=jax.random.PRNGKey(3),
+                         deterministic=True)
+    for k in ("loss_itc", "loss_itm", "loss_mlm"):
+        assert np.isfinite(float(losses[k])), k
+
+    para = dict(batch)
+    para["image"] = None
+    para["text_ids_2"] = jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32)
+    para["text_atts_2"] = jnp.ones((B, L), jnp.int32)
+    plosses = model.apply(variables, para, rng=jax.random.PRNGKey(4),
+                          deterministic=True)
+    for k in ("loss_ttc", "loss_ttm", "loss_mlm"):
+        assert np.isfinite(float(plosses[k])), k
+
+
+def test_split_params_to_plus():
+    base = {"text_encoder": {
+        "embeddings": {"e": np.ones(1)},
+        **{f"layer_{i}": {"w": np.full(1, i)} for i in range(5)}},
+        "vision_encoder": {"v": np.ones(1)}}
+    out = split_params_to_plus(base, fusion_layer=3, num_layers=5)
+    assert out["cross_encoder"]["layer_0"]["w"][0] == 3
+    assert out["cross_encoder"]["layer_1"]["w"][0] == 4
+    assert "layer_4" not in out["text_encoder"]
+    assert "layer_2" in out["text_encoder"]
+    out2 = split_params_to_plus(base, fusion_layer=3, num_layers=5,
+                                replace_text_encoder=True)
+    assert "text_encoder" not in out2

@@ -1,0 +1,235 @@
+"""Swin Transformer vision encoder (alternative backbone; reference
+models/swin_transformer.py, 755 LoC).
+
+Hierarchical ViT: 4×4 conv patchify + LN, stages of window-attention blocks
+(alternating shifted windows with the roll + region-mask trick), PatchMerging
+downsampling between stages, final LN. Output contract matches the reference's
+X2-VLM adaptation (:664-687): ``[avgpool ‖ final-stage patches]`` with the
+pooled token at position 0 (``add_cls``).
+
+Window partition/merge are pure reshapes (static shapes); the shifted-window
+attention mask is computed host-side once per (H, W, window) and baked as a
+constant — no dynamic control flow under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x2vlm_tpu.ops.attention import dot_product_attention
+from x2vlm_tpu.ops.layers import Mlp, gelu_exact
+
+__all__ = ["SwinConfig", "SwinTransformer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    image_res: int = 224
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    ln_eps: float = 1e-5
+    add_cls: bool = True
+
+    @property
+    def num_layers(self):
+        return len(self.depths)
+
+    @property
+    def vision_width(self):
+        return int(self.embed_dim * 2 ** (self.num_layers - 1))
+
+    @classmethod
+    def base_224(cls, **kw):
+        return cls(**kw)
+
+    @classmethod
+    def large_384(cls, **kw):
+        kw.setdefault("image_res", 384)
+        kw.setdefault("embed_dim", 192)
+        kw.setdefault("num_heads", (6, 12, 24, 48))
+        kw.setdefault("window_size", 12)
+        return cls(**kw)
+
+
+def _rel_pos_index(window: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1).astype(np.int32)  # (w², w²)
+
+
+def _shift_attn_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
+    """(nW, w², w²) additive mask for shifted windows (0 / -100)."""
+    img_mask = np.zeros((H, W), np.int32)
+    cnt = 0
+    for h_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for w_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[h_sl, w_sl] = cnt
+            cnt += 1
+    wins = img_mask.reshape(H // window, window, W // window, window)
+    wins = wins.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = wins[:, None, :] != wins[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x, window):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
+
+
+def _window_merge(wins, window, H, W):
+    B = wins.shape[0] // ((H // window) * (W // window))
+    x = wins.reshape(B, H // window, W // window, window, window, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True):
+        # x: (nB, w², C); attn_mask: (nW, w², w²) tiled across batch
+        nB, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(nB, N, self.num_heads, head_dim)
+        k = k.reshape(nB, N, self.num_heads, head_dim)
+        v = v.reshape(nB, N, self.num_heads, head_dim)
+
+        table = self.param("rel_pos_table", nn.initializers.truncated_normal(0.02),
+                           ((2 * self.window - 1) ** 2, self.num_heads),
+                           jnp.float32)
+        idx = jnp.asarray(_rel_pos_index(self.window))
+        bias = jnp.transpose(table[idx], (2, 0, 1))[None]  # (1, H, w², w²)
+        if attn_mask is not None:
+            nW = attn_mask.shape[0]
+            mask = attn_mask[:, None, :, :]  # (nW, 1, w², w²)
+            mask = jnp.tile(mask, (nB // nW, 1, 1, 1))
+            bias = bias + mask
+            out = dot_product_attention(q, k, v, bias=jnp.broadcast_to(
+                bias, (nB, self.num_heads, N, N)), impl="xla")
+        else:
+            out = dot_product_attention(q, k, v, bias=bias, impl="xla")
+        out = out.reshape(nB, N, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float
+    ln_eps: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H, W, deterministic=True):
+        window, shift = self.window, self.shift
+        if min(H, W) <= window:
+            window, shift = min(H, W), 0
+        B, L, C = x.shape
+        ln = lambda name: nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+        h = ln("norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        h = h.reshape(B, H, W, C)
+        if shift > 0:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+            attn_mask = jnp.asarray(_shift_attn_mask(H, W, window, shift))
+        else:
+            attn_mask = None
+        wins = _window_partition(h, window)
+        wins = WindowAttention(self.dim, self.num_heads, window,
+                               dtype=self.dtype, name="attn")(
+                                   wins, attn_mask, deterministic)
+        h = _window_merge(wins, window, H, W)
+        if shift > 0:
+            h = jnp.roll(h, (shift, shift), axis=(1, 2))
+        x = x + h.reshape(B, L, C)
+        h = ln("norm2")(x.astype(jnp.float32)).astype(self.dtype)
+        h = Mlp(hidden_dim=int(self.dim * self.mlp_ratio), act=gelu_exact,
+                dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    ln_eps: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H, W):
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2],
+             x[:, 1::2, 1::2]], axis=-1)
+        x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm")(
+                             x.astype(jnp.float32)).astype(self.dtype)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    """Returns (B, 1 + (res/32)², vision_width): [avgpool ‖ patches]."""
+
+    config: SwinConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pixels, deterministic: bool = True):
+        cfg = self.config
+        B = pixels.shape[0]
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(pixels.astype(self.dtype))
+        H = W = cfg.image_res // cfg.patch_size
+        x = x.reshape(B, H * W, cfg.embed_dim)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="patch_norm")(
+                             x.astype(jnp.float32)).astype(self.dtype)
+
+        for si, depth in enumerate(cfg.depths):
+            dim = int(cfg.embed_dim * 2 ** si)
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else cfg.window_size // 2
+                x = SwinBlock(dim, cfg.num_heads[si], cfg.window_size, shift,
+                              cfg.mlp_ratio, cfg.ln_eps, dtype=self.dtype,
+                              name=f"stage_{si}_block_{bi}")(
+                                  x, H, W, deterministic)
+            if si < cfg.num_layers - 1:
+                x = PatchMerging(dim, cfg.ln_eps, dtype=self.dtype,
+                                 name=f"merge_{si}")(x, H, W)
+                H, W = H // 2, W // 2
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm")(
+                             x.astype(jnp.float32))
+        pooled = jnp.mean(x, axis=1, keepdims=True)
+        out = jnp.concatenate([pooled, x], axis=1) if cfg.add_cls else x
+        return out.astype(self.dtype)
