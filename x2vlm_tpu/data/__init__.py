@@ -9,3 +9,12 @@ from x2vlm_tpu.data.retrieval import RetrievalTrainDataset, RetrievalEvalDataset
 from x2vlm_tpu.data.loader import (
     collate, batch_indices, MapLoader, iter_batches, Prefetcher,
 )
+from x2vlm_tpu.data.finetune import (
+    VQATrainDataset, VQAEvalDataset, vqa_collate, tokenize_answers,
+    NLVRDataset, GroundingTrainDataset, GroundingEvalDataset,
+    CaptioningTrainDataset, CaptioningEvalDataset,
+)
+from x2vlm_tpu.data.pretrain import (
+    ImageTextStream, TextStream, RegionTextStream, VideoTextStream,
+    region_collate, sample_frame_ids,
+)
