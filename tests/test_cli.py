@@ -1,0 +1,103 @@
+"""CLI smoke: config-driven retrieval train + eval through x2vlm_tpu.run.main."""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from x2vlm_tpu.factory import build_model, xvlm_config_from_yaml
+from x2vlm_tpu.models.xvlm_plus import XVLMPlusConfig
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] a b c d e dog cat runs the quick brown fox "
+    "jump ##s ##ing over lazy river bank small big red blue green house tree"
+).split()
+
+
+def _write_vocab_dir(d):
+    """A local HF-loadable bert tokenizer directory."""
+    tok_dir = d / "bert-tiny"
+    tok_dir.mkdir(exist_ok=True)
+    (tok_dir / "vocab.txt").write_text("\n".join(VOCAB))
+    (tok_dir / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "BertTokenizerFast", "do_lower_case": True}))
+    return str(tok_dir)
+
+
+def test_factory_from_yaml(tmp_path):
+    cfg = {
+        "image_res": 32,
+        "vision_config_inline": {"vision_width": 32, "patch_size": 16,
+                                 "num_hidden_layers": 2,
+                                 "num_attention_heads": 2},
+        "text_encoder": "bert-tiny",
+        "text_num_hidden_layers": 4,
+        "text_fusion_start_at": 2,
+        "text_config_inline": {"vocab_size": 31, "hidden_size": 32,
+                               "num_heads": 2, "intermediate_size": 64,
+                               "hidden_dropout": 0.0, "attn_dropout": 0.0},
+        "embed_dim": 16,
+    }
+    mcfg = xvlm_config_from_yaml(cfg)
+    assert mcfg.vision.depth == 2
+    assert mcfg.text.num_layers == 4
+    assert mcfg.text.encoder_width == 32
+    for task in ("pretrain", "retrieval", "vqa", "nlvr", "grounding",
+                 "captioning"):
+        model, _ = build_model(cfg, task)
+        assert model is not None
+    plus_cfg = dict(cfg, model_type="cclm", num_cross_layers=2)
+    mcfg2 = xvlm_config_from_yaml(plus_cfg)
+    assert isinstance(mcfg2, XVLMPlusConfig)
+
+
+@pytest.mark.slow
+def test_cli_retrieval_end_to_end(tmp_path):
+    from x2vlm_tpu.run import main
+
+    tok_dir = _write_vocab_dir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    ann = []
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+        ann.append({"image": f"im{i}.png", "image_id": i,
+                    "caption": [f"the dog {i}"]})
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+
+    cfg = {
+        "train_file": [str(tmp_path / "ann.json")],
+        "test_file": [str(tmp_path / "ann.json")],
+        "image_root": str(img_dir),
+        "image_res": 32,
+        "vision_config_inline": {"vision_width": 32, "patch_size": 16,
+                                 "num_hidden_layers": 2,
+                                 "num_attention_heads": 2},
+        "text_encoder": str(tok_dir),  # contains 'bert' → BERT family
+        "text_num_hidden_layers": 4,
+        "text_fusion_start_at": 2,
+        "text_config_inline": {"vocab_size": 31, "hidden_size": 32,
+                               "num_heads": 2, "intermediate_size": 64,
+                               "hidden_dropout": 0.0, "attn_dropout": 0.0},
+        "embed_dim": 16,
+        "max_tokens": 10,
+        "k_test": 3,
+        "batch_size": 8,
+        "optimizer": {"lr": 1e-3, "weight_decay": 0.01},
+        "schedular": {"epochs": 1, "num_warmup_steps": 0},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out"
+
+    main(["--task", "retrieval", "--config", str(cfg_path),
+          "--output_dir", str(out_dir), "--seed", "0"])
+
+    log = (out_dir / "log.txt").read_text().strip().splitlines()
+    rec = json.loads(log[-1])
+    assert "eval_r_mean" in rec
+    assert (out_dir / "config.yaml").exists()

@@ -128,8 +128,12 @@ class XVLMForRetrieval(nn.Module):
     def setup(self):
         self.base = XVLMBase(self.config, dtype=self.dtype)
 
-    def __call__(self, image, text_ids, text_atts, idx, rng=None,
+    def __call__(self, image, text_ids=None, text_atts=None, idx=None, rng=None,
                  deterministic: bool = False):
+        if isinstance(image, dict):  # batch-dict calling convention (train step)
+            batch = image
+            image, text_ids = batch["image"], batch["text_ids"]
+            text_atts, idx = batch["text_atts"], batch["idx"]
         base = self.base
         image_embeds, image_atts = base.get_vision_embeds(
             image, deterministic=deterministic)

@@ -1,0 +1,72 @@
+"""Generic fine-tune epoch loop shared by all task scripts (replaces the
+near-identical train() functions in the reference's 15 root scripts, e.g.
+Retrieval.py:218-282, NLVR.py, Grounding_bbox.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+from x2vlm_tpu.core.mesh import shard_batch
+from x2vlm_tpu.train.metrics import MetricLogger
+from x2vlm_tpu.train.trainer import TrainState
+
+__all__ = ["train_epochs", "append_log"]
+
+
+def append_log(output_dir: str, record: Dict):
+    """JSON-lines log.txt (reference Pretrain.py:368-375)."""
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "log.txt"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def train_epochs(
+    model,
+    state: TrainState,
+    step_fn: Callable,
+    loader,
+    *,
+    num_epochs: int,
+    rng_key,
+    use_mesh: bool = False,
+    eval_fn: Optional[Callable] = None,
+    metric_key: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    save_fn: Optional[Callable] = None,
+    log_every: int = 50,
+) -> TrainState:
+    """Run epochs; after each, optionally evaluate, log, and keep the best
+    checkpoint by `metric_key` (reference "best" tracking, Retrieval.py:363-396)."""
+    best = float("-inf")
+    for epoch in range(num_epochs):
+        logger = MetricLogger()
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        for batch in logger.log_every(iter(loader), log_every,
+                                      header=f"Epoch {epoch}:",
+                                      total=len(loader) if hasattr(loader, "__len__") else None):
+            if use_mesh:
+                batch = shard_batch(batch)
+            else:
+                batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+            state, metrics = step_fn(state, batch, rng_key)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+
+        record = {"epoch": epoch, **logger.to_dict()}
+        if eval_fn is not None:
+            eval_metrics = eval_fn(state)
+            record.update({f"eval_{k}": v for k, v in eval_metrics.items()})
+            if metric_key and eval_metrics.get(metric_key, float("-inf")) > best:
+                best = eval_metrics[metric_key]
+                if save_fn:
+                    save_fn(state, epoch, best=True)
+        elif save_fn:
+            save_fn(state, epoch, best=False)
+        if output_dir:
+            append_log(output_dir, record)
+    return state
