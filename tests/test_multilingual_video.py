@@ -1,0 +1,136 @@
+import base64
+import io
+import json
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from x2vlm_tpu.core.io import hcountline, hexists, hlist_files, hopen
+from x2vlm_tpu.data import DistLineReader, TextPreprocessor
+from x2vlm_tpu.data import transforms as T
+from x2vlm_tpu.data.multilingual import (
+    ImageMultiTextStream, ParaTextStream, RegionMultiTextStream, choose_language,
+)
+from x2vlm_tpu.data.video import VideoQADataset, VideoRetrievalDataset
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] a b c d e dog cat runs the quick brown fox "
+    "jump ##s ##ing over lazy hund lauft der schnelle"
+).split()
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    from transformers import BertTokenizerFast
+
+    d = tmp_path_factory.mktemp("mlv")
+    (d / "vocab.txt").write_text("\n".join(VOCAB))
+    return BertTokenizerFast(vocab_file=str(d / "vocab.txt"), do_lower_case=True)
+
+
+def _b64(rng, w=40, h=40):
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_choose_language():
+    r = random.Random(0)
+    caps = {"en": "the dog", "de": "der hund"}
+    for _ in range(5):
+        assert choose_language(caps, ["en", "de"], r) in caps.values()
+    assert choose_language(caps, ["fr", "de"], r) == "der hund"
+
+
+def test_image_multitext_stream(tmp_path, tok):
+    rng = np.random.default_rng(0)
+    f = tmp_path / "mt.jsonl"
+    with open(f, "w") as fh:
+        for i in range(4):
+            fh.write(json.dumps({
+                "binary": _b64(rng),
+                "caption": {"en": "the quick dog", "de": "der schnelle hund"},
+            }) + "\n")
+    pre = TextPreprocessor(tok, max_tokens=10, max_masks=3,
+                           rng=random.Random(0))
+    reader = DistLineReader([str(f)], shuffle=False, repeat=False)
+    stream = ImageMultiTextStream(reader, pre, T.test_transform(32),
+                                  languages=["en", "de"], rng=random.Random(0))
+    samples = list(stream)
+    assert len(samples) == 4 and stream.broken == 0
+
+
+def test_region_multitext_code_switch(tmp_path, tok):
+    rng = np.random.default_rng(0)
+    f = tmp_path / "rmt.jsonl"
+    with open(f, "w") as fh:
+        for i in range(4):
+            fh.write(json.dumps({
+                "binary": _b64(rng, 64, 64),
+                "elems": [
+                    {"bb": [4, 4, 24, 24],
+                     "caption": {"en": "quick dog", "de": "schnelle hund"}},
+                    {"bb": [30, 30, 20, 20],
+                     "caption": {"en": "lazy cat", "de": "der cat"}},
+                ]}) + "\n")
+    pre = TextPreprocessor(tok, max_tokens=10, max_masks=3, rng=random.Random(0))
+    reader = DistLineReader([str(f)], shuffle=False, repeat=False)
+    stream = RegionMultiTextStream(
+        reader, pre, T.box_transform(rng=random.Random(0)),
+        image_res=32, patch_size=16, max_regions=3, min_perc_in_image=0.3,
+        rng=random.Random(0), languages=["en", "de"], code_switch=True)
+    samples = list(stream)
+    assert stream.broken == 0 and len(samples) == 4
+
+
+def test_para_text_stream(tmp_path, tok):
+    f = tmp_path / "para.jsonl"
+    with open(f, "w") as fh:
+        for i in range(4):
+            fh.write(json.dumps({"text1": "the quick dog runs",
+                                 "text2": "der schnelle hund lauft"}) + "\n")
+    pre = TextPreprocessor(tok, max_tokens=10, max_masks=3, rng=random.Random(0))
+    reader = DistLineReader([str(f)], shuffle=False, repeat=False)
+    stream = ParaTextStream(reader, pre, rng=random.Random(0))
+    samples = list(stream)
+    assert len(samples) == 4
+    s = samples[0]
+    assert s["text_ids_2"].shape == (10,)
+    assert "image" not in s
+
+
+def test_video_datasets(tmp_path, tok):
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "vids" / "v0"
+    vdir.mkdir(parents=True)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            vdir / f"f{i:03d}.png")
+    ann = [{"video": "v0", "question": "the dog runs", "answer": "dog"}]
+    (tmp_path / "vqa.json").write_text(json.dumps(ann))
+    pre = TextPreprocessor(tok, max_tokens=8)
+    ds = VideoQADataset(str(tmp_path / "vqa.json"), T.test_transform(32),
+                        str(tmp_path / "vids"), pre, ["dog", "cat"],
+                        frame_len=3, training=False)
+    s = ds[0]
+    assert s["image"].shape == (3, 32, 32, 3)
+    assert s["labels"] == 0
+
+    rann = [{"video": "v0", "caption": ["the dog runs", "a cat"]}]
+    (tmp_path / "vret.json").write_text(json.dumps(rann))
+    rds = VideoRetrievalDataset(str(tmp_path / "vret.json"), T.test_transform(32),
+                                str(tmp_path / "vids"), pre, frame_len=3)
+    assert rds.n_images() == 1 and rds.n_texts() == 2
+    assert rds.image_batch([0]).shape == (1, 3, 32, 32, 3)
+
+
+def test_local_io_helpers(tmp_path):
+    f = tmp_path / "x.txt"
+    with hopen(str(f), "w") as fh:
+        fh.write("a\nb\nc\n")
+    assert hexists(str(f))
+    assert hcountline(str(f)) == 3
+    assert str(f) in hlist_files([str(tmp_path)])
