@@ -1,0 +1,82 @@
+"""Native C++ data-plane vs PIL reference."""
+
+import base64
+import io
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from x2vlm_tpu.data.native import NativeDecoder, native_available
+from x2vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native dataplane not built")
+
+
+def _encode(img: Image.Image, fmt: str) -> bytes:
+    buf = io.BytesIO()
+    img.save(buf, format=fmt, quality=95)
+    return buf.getvalue()
+
+
+def _pil_reference(raw: bytes, res: int) -> np.ndarray:
+    img = Image.open(io.BytesIO(raw)).convert("RGB").resize((res, res),
+                                                            Image.BILINEAR)
+    x = np.asarray(img, np.float32) / 255.0
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+def test_decode_batch_matches_pil(rng):
+    res = 64
+    dec = NativeDecoder(res, num_threads=2)
+    imgs = [Image.fromarray(rng.integers(0, 255, (80, 100, 3), np.uint8))
+            for _ in range(4)]
+    raws = [_encode(imgs[0], "JPEG"), _encode(imgs[1], "PNG"),
+            _encode(imgs[2], "JPEG"), _encode(imgs[3], "PNG")]
+    out, ok = dec.decode_raw(raws)
+    assert out.shape == (4, res, res, 3)
+    assert ok.all()
+    for i, raw in enumerate(raws):
+        ref = _pil_reference(raw, res)
+        # bilinear kernels differ slightly between PIL and ours; compare loosely
+        diff = np.abs(out[i] - ref)
+        assert np.median(diff) < 0.15, (i, np.median(diff))
+        # unnormalized correlation should be very high
+        a, b = out[i].ravel(), ref.ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.98, (i, corr)
+
+
+def test_decode_b64_and_broken(rng):
+    res = 32
+    dec = NativeDecoder(res, num_threads=1)
+    img = Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8))
+    good = base64.b64encode(_encode(img, "JPEG")).decode()
+    out, ok = dec.decode_b64([good, "not-valid-base64!!", good])
+    assert ok.tolist() == [True, False, True]
+    assert (out[1] == 0).all()
+    np.testing.assert_allclose(out[0], out[2])
+
+
+def test_throughput_beats_pil(rng):
+    """The point of the native path: must beat PIL on batch decode."""
+    res = 224
+    imgs = [Image.fromarray(rng.integers(0, 255, (480, 640, 3), np.uint8))
+            for _ in range(16)]
+    raws = [_encode(im, "JPEG") for im in imgs]
+    dec = NativeDecoder(res, num_threads=8)
+    dec.decode_raw(raws)  # warm-up
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dec.decode_raw(raws)
+    t_native = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        for raw in raws:
+            _pil_reference(raw, res)
+    t_pil = (time.perf_counter() - t0) / 3
+    assert t_native < t_pil, (t_native, t_pil)

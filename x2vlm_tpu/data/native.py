@@ -1,0 +1,111 @@
+"""ctypes binding for the native data-plane (native/dataplane.cpp): batched
+base64 → JPEG/PNG decode → resize → CLIP-normalize in C++ threads.
+
+Falls back transparently to the PIL path when the library can't be built
+(x2vlm_tpu.data.pretrain streams accept either decoder). Build happens lazily
+on first use (`make -C native` equivalent, ~2 s)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from x2vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+__all__ = ["NativeDecoder", "load_dataplane", "native_available"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdataplane.so")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "dataplane.cpp")
+    if not os.path.exists(src):
+        return False
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+           src, "-o", _LIB_PATH, "-ljpeg", "-lpng", "-lpthread"]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        return res.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def load_dataplane() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    for name in ("dp_decode_batch_b64", "dp_decode_batch_raw"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+    lib.dp_b64_decode.restype = ctypes.c_int64
+    lib.dp_b64_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_uint8)]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return load_dataplane() is not None
+
+
+class NativeDecoder:
+    """Batch decoder: list of base64 strings (or raw bytes) →
+    (N, res, res, 3) float32 normalized NHWC + per-item ok mask."""
+
+    def __init__(self, image_res: int, num_threads: int = 8,
+                 mean=CLIP_MEAN, std=CLIP_STD):
+        self.lib = load_dataplane()
+        if self.lib is None:
+            raise RuntimeError("native dataplane unavailable (g++/libjpeg?)")
+        self.res = image_res
+        self.num_threads = num_threads
+        self.mean = np.ascontiguousarray(mean, np.float32)
+        self.std = np.ascontiguousarray(std, np.float32)
+
+    def _call(self, fn, blob: bytes, offsets: np.ndarray, n: int):
+        out = np.empty((n, self.res, self.res, 3), np.float32)
+        status = np.empty(n, np.uint8)
+        fn(
+            blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, self.res,
+            self.mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.num_threads,
+        )
+        return out, status.astype(bool)
+
+    def decode_b64(self, items: Sequence[str]):
+        enc = [s.encode() if isinstance(s, str) else s for s in items]
+        offsets = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(e) for e in enc], out=offsets[1:])
+        blob = b"".join(enc)
+        return self._call(self.lib.dp_decode_batch_b64, blob, offsets, len(enc))
+
+    def decode_raw(self, items: Sequence[bytes]):
+        offsets = np.zeros(len(items) + 1, np.int64)
+        np.cumsum([len(e) for e in items], out=offsets[1:])
+        blob = b"".join(items)
+        return self._call(self.lib.dp_decode_batch_raw, blob, offsets, len(items))
