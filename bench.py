@@ -25,7 +25,14 @@ import numpy as np
 def main():
     from x2vlm_tpu.models import XVLMConfig, XVLMForRetrieval
 
+    import dataclasses
+
     cfg = XVLMConfig.base(image_res=224)
+    # serving-mode activation: tanh GELU (erf is VPU-expensive; diff ~1e-3)
+    cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, act="gelu_fast"),
+        text=dataclasses.replace(cfg.text, act="gelu_fast"))
     model = XVLMForRetrieval(cfg, dtype=jnp.bfloat16)
 
     batch = 128

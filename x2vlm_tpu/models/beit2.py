@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from x2vlm_tpu.ops.layers import DropPath, Mlp, MultiHeadAttention, gelu_exact
+from x2vlm_tpu.ops.layers import ACTIVATIONS, DropPath, Mlp, MultiHeadAttention, gelu_exact
 
 __all__ = ["BEiT2Config", "BEiT2", "relative_position_index"]
 
@@ -47,6 +47,7 @@ class BEiT2Config:
     dropout_rate: float = 0.0
     attn_dropout_rate: float = 0.0
     ln_eps: float = 1e-6
+    act: str = "gelu"          # "gelu" (erf; torch parity) | "gelu_fast" (tanh)
 
     @property
     def window(self) -> Tuple[int, int]:
@@ -128,7 +129,8 @@ class BEiT2Block(nn.Module):
             h * gamma_1.astype(self.dtype), deterministic)
 
         h = ln("norm2")(x).astype(self.dtype)
-        h = Mlp(hidden_dim=int(cfg.embed_dim * cfg.mlp_ratio), act=gelu_exact,
+        h = Mlp(hidden_dim=int(cfg.embed_dim * cfg.mlp_ratio),
+                act=ACTIVATIONS[cfg.act],
                 dropout_rate=cfg.dropout_rate, dtype=self.dtype, name="mlp")(
                     h, deterministic=deterministic)
         gamma_2 = self.param("gamma_2", nn.initializers.constant(cfg.init_values),

@@ -30,7 +30,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from x2vlm_tpu.ops.layers import Mlp, MultiHeadAttention, gelu_exact
+from x2vlm_tpu.ops.layers import ACTIVATIONS, Mlp, MultiHeadAttention, gelu_exact
 
 __all__ = ["BertConfig", "BertEncoder", "BertMLMHead"]
 
@@ -50,6 +50,7 @@ class BertConfig:
     hidden_dropout: float = 0.1
     attn_dropout: float = 0.1
     position_offset: int = 0       # 2 for RoBERTa/XLM-R
+    act: str = "gelu"              # "gelu" (erf; HF parity) | "gelu_fast"
     embedding_dim: Optional[int] = None  # MLM head bottleneck (CCLM)
     is_decoder: bool = False       # causal self-attention (generation stacks)
 
@@ -163,7 +164,7 @@ class BertLayer(nn.Module):
               key_mask=encoder_attention_mask, deterministic=deterministic)
             x = ln("cross_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
 
-        h = Mlp(hidden_dim=cfg.intermediate_size, act=gelu_exact,
+        h = Mlp(hidden_dim=cfg.intermediate_size, act=ACTIVATIONS[cfg.act],
                 dropout_rate=cfg.hidden_dropout, dtype=self.dtype, name="mlp")(
                     x, deterministic=deterministic)
         x = ln("mlp_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
