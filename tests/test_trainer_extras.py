@@ -1,0 +1,99 @@
+"""Gradient accumulation, remat, and Plus-base task heads."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x2vlm_tpu.models import (
+    BEiT2Config, BertConfig, XVLMConfig, XVLMForRetrieval, XVLMPlusConfig,
+)
+from x2vlm_tpu.models.classification import XVLMForNLVR
+from x2vlm_tpu.train import (
+    create_optimizer, create_train_state, lr_schedule, make_train_step,
+)
+
+
+def tiny_cfg(remat=False, plus=False):
+    vision = BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                         num_heads=2, drop_path_rate=0.0, dropout_rate=0.0,
+                         remat=remat)
+    text = BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                      fusion_layer=4 if plus else 2, num_heads=2,
+                      intermediate_size=64, encoder_width=32,
+                      hidden_dropout=0.0, attn_dropout=0.0, remat=remat)
+    if plus:
+        return XVLMPlusConfig(vision=vision, text=text, embed_dim=16,
+                              num_cross_layers=2)
+    return XVLMConfig(vision=vision, text=text, embed_dim=16)
+
+
+def _batch(rng, bs=8):
+    return {
+        "image": jnp.asarray(rng.standard_normal((bs, 32, 32, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(1, 31, (bs, 8)), jnp.int32),
+        "text_atts": jnp.ones((bs, 8), jnp.int32),
+        "idx": jnp.arange(bs, dtype=jnp.int32),
+    }
+
+
+def test_grad_accumulation_runs_and_matches_step_count(rng):
+    model = XVLMForRetrieval(tiny_cfg(), dtype=jnp.float32)
+    batch = _batch(rng, bs=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    tx = create_optimizer(variables["params"], lr_schedule(1e-3, 10))
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, donate=False, accum_steps=2)
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(state.step) == 1
+
+
+def test_remat_matches_no_remat_loss(rng):
+    batch = _batch(rng, bs=4)
+    losses = {}
+    for remat in (False, True):
+        model = XVLMForRetrieval(tiny_cfg(remat=remat), dtype=jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, rng=jax.random.PRNGKey(2))
+        out = model.apply(variables, batch, rng=jax.random.PRNGKey(3),
+                          deterministic=True)
+        losses[remat] = float(out["loss_itc"])
+        # gradient flows through remat
+        g = jax.grad(lambda p: model.apply(
+            {"params": p}, batch, rng=jax.random.PRNGKey(3),
+            deterministic=True)["loss_itc"])(variables["params"])
+        gn = float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
+        assert np.isfinite(gn) and gn > 0
+    assert losses[False] == pytest.approx(losses[True], rel=1e-5)
+
+
+def test_plus_base_heads(rng):
+    """Task heads on the Plus/CCLM base (multilingual tasks: WIT/xFlickrCO
+    retrieval, XVNLI/MARVL classification)."""
+    cfg = tiny_cfg(plus=True)
+    model = XVLMForRetrieval(cfg, dtype=jnp.float32)
+    batch = _batch(rng, bs=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    assert "cross_encoder" in variables["params"]["base"]
+    out = model.apply(variables, batch, rng=jax.random.PRNGKey(3),
+                      deterministic=True)
+    assert np.isfinite(float(out["loss_itc"]))
+    assert np.isfinite(float(out["loss_itm"]))
+
+    nlvr = XVLMForNLVR(cfg, dtype=jnp.float32)
+    nb = {"image0": batch["image"], "image1": batch["image"],
+          "text_ids": batch["text_ids"], "text_atts": batch["text_atts"],
+          "labels": jnp.asarray([0, 1, 0, 1], jnp.int32)}
+    v = nlvr.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, nb)
+    out = nlvr.apply(v, nb, deterministic=True)
+    assert np.isfinite(float(out["loss_cls"]))

@@ -48,6 +48,7 @@ class BEiT2Config:
     attn_dropout_rate: float = 0.0
     ln_eps: float = 1e-6
     act: str = "gelu"          # "gelu" (erf; torch parity) | "gelu_fast" (tanh)
+    remat: bool = False        # gradient checkpointing per block (jax.checkpoint)
 
     @property
     def window(self) -> Tuple[int, int]:
@@ -176,6 +177,10 @@ class BEiT2(nn.Module):
 
         rel_index = jnp.asarray(relative_position_index(cfg.window))  # (S+1, S+1)
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        # rematerialization: recompute block activations in backward (replaces
+        # the reference's unused gradient-checkpointing flag, xbert.py:700-724)
+        block_cls = nn.remat(BEiT2Block, static_argnums=(3,)) if cfg.remat \
+            else BEiT2Block
         for i in range(cfg.depth):
             table = self.param(
                 f"rel_pos_table_{i}", nn.initializers.zeros,
@@ -183,9 +188,8 @@ class BEiT2(nn.Module):
             )
             # (S+1, S+1, H) gather → (1, H, S+1, S+1) additive bias.
             bias = jnp.transpose(table[rel_index], (2, 0, 1))[None]
-            x = BEiT2Block(cfg, drop_path=float(dpr[i]), dtype=self.dtype,
-                           name=f"block_{i}")(x, rel_pos_bias=bias,
-                                              deterministic=deterministic)
+            x = block_cls(cfg, drop_path=float(dpr[i]), dtype=self.dtype,
+                          name=f"block_{i}")(x, bias, deterministic)
 
         # use_mean_pooling contract: final norm is identity; fc_norm over patches;
         # "cls" output token = mean over patch tokens (reference beit2.py:409-416).

@@ -51,6 +51,7 @@ class BertConfig:
     attn_dropout: float = 0.1
     position_offset: int = 0       # 2 for RoBERTa/XLM-R
     act: str = "gelu"              # "gelu" (erf; HF parity) | "gelu_fast"
+    remat: bool = False            # gradient checkpointing per layer
     embedding_dim: Optional[int] = None  # MLM head bottleneck (CCLM)
     is_decoder: bool = False       # causal self-attention (generation stacks)
 
@@ -184,8 +185,13 @@ class BertEncoder(nn.Module):
         cfg = self.config
         if self.add_embeddings:
             self.embeddings = BertEmbeddings(cfg, dtype=self.dtype)
+        layer_cls = BertLayer
+        if cfg.remat:
+            # static: causal flag (5) and deterministic (7); cache decode paths
+            # do not use remat (no backward during decoding)
+            layer_cls = nn.remat(BertLayer, static_argnums=(6, 8))
         self.layers = [
-            BertLayer(cfg, has_cross=(i >= cfg.fusion_layer) or cfg.is_decoder,
+            layer_cls(cfg, has_cross=(i >= cfg.fusion_layer) or cfg.is_decoder,
                       dtype=self.dtype, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
@@ -227,14 +233,8 @@ class BertEncoder(nn.Module):
             layer = self.layers[i]
             layer_cache = cache[li] if cache is not None else None
             out = layer(
-                x,
-                attention_mask=attention_mask,
-                attention_matrix=attention_matrix,
-                encoder_hidden_states=encoder_hidden_states,
-                encoder_attention_mask=encoder_attention_mask,
-                causal=causal,
-                cache=layer_cache,
-                deterministic=deterministic,
+                x, attention_mask, attention_matrix, encoder_hidden_states,
+                encoder_attention_mask, causal, layer_cache, deterministic,
             )
             if layer_cache is not None:
                 x, layer_new_cache = out

@@ -26,7 +26,7 @@ import numpy as np
 
 from x2vlm_tpu.models.bert import BertEncoder, BertMLMHead
 from x2vlm_tpu.models.generation import label_smoothing_loss
-from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig
+from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
 __all__ = ["XVLMForMLMCaptioning", "beam_search_generate"]
 
@@ -41,7 +41,7 @@ class XVLMForMLMCaptioning(nn.Module):
         base_cfg = dataclasses.replace(
             self.config, use_contrastive=False, use_matching=False,
             use_mlm=True, use_bbox=False)
-        self.base = XVLMBase(base_cfg, dtype=self.dtype)
+        self.base = make_base(base_cfg, dtype=self.dtype)
 
     def __call__(self, batch, rng=None, deterministic=False):
         base = self.base

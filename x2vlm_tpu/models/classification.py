@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, cross_entropy
+from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, cross_entropy, make_base
 
 __all__ = ["XVLMForClassification", "XVLMForNLVR"]
 
@@ -42,7 +42,7 @@ class XVLMForClassification(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.base = XVLMBase(self.config, dtype=self.dtype)
+        self.base = make_base(self.config, dtype=self.dtype)
         self.cls_head = ClsHead(self.num_labels, dtype=self.dtype)
 
     def logits(self, text_ids, text_atts, image=None, deterministic=True):
@@ -87,7 +87,7 @@ class XVLMForNLVR(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.base = XVLMBase(self.config, dtype=self.dtype)
+        self.base = make_base(self.config, dtype=self.dtype)
         self.cls_head = ClsHead(self.num_labels, dtype=self.dtype)
 
     def logits(self, image0, image1, text_ids, text_atts, deterministic=True):

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from x2vlm_tpu.models.bert import BertConfig, BertEncoder, BertMLMHead
-from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig
+from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
 __all__ = ["XVLMForVQA", "causal_lm_loss", "decoder_params_from_text_encoder",
            "label_smoothing_loss"]
@@ -69,7 +69,7 @@ class XVLMForVQA(nn.Module):
         base_cfg = dataclasses.replace(
             self.config, use_contrastive=False, use_matching=False,
             use_mlm=False, use_bbox=False)
-        self.base = XVLMBase(base_cfg, dtype=self.dtype)
+        self.base = make_base(base_cfg, dtype=self.dtype)
         tcfg = self.config.text
         dec_cfg = dataclasses.replace(
             tcfg, num_layers=self.num_dec_layers, fusion_layer=0,

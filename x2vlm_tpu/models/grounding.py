@@ -9,7 +9,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig
+from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
 __all__ = ["XVLMForGrounding"]
 
@@ -22,7 +22,7 @@ class XVLMForGrounding(nn.Module):
         base_cfg = dataclasses.replace(
             self.config, use_contrastive=False, use_matching=False,
             use_mlm=False, use_bbox=True)
-        self.base = XVLMBase(base_cfg, dtype=self.dtype)
+        self.base = make_base(base_cfg, dtype=self.dtype)
 
     def predict(self, image, text_ids, text_atts, deterministic=True):
         image_embeds, _ = self.base.get_vision_embeds(

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig
+from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
 __all__ = ["XVLMForPretrain", "XVLMForRetrieval", "pretrain_init_inputs"]
 
@@ -58,7 +58,7 @@ class XVLMForPretrain(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.base = XVLMBase(self.config, dtype=self.dtype)
+        self.base = make_base(self.config, dtype=self.dtype)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], rng=None,
                  ret_bbox_loss: bool = False, ret_match_loss: bool = True,
@@ -126,7 +126,7 @@ class XVLMForRetrieval(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.base = XVLMBase(self.config, dtype=self.dtype)
+        self.base = make_base(self.config, dtype=self.dtype)
 
     def __call__(self, image, text_ids=None, text_atts=None, idx=None, rng=None,
                  deterministic: bool = False):

@@ -37,7 +37,7 @@ from x2vlm_tpu.models.beit2 import BEiT2, BEiT2Config, grouped_image_embeds
 from x2vlm_tpu.models.bert import BertConfig, BertEncoder, BertMLMHead
 from x2vlm_tpu.ops import box as box_ops
 
-__all__ = ["XVLMConfig", "XVLMBase", "cross_entropy", "MlpHead"]
+__all__ = ["XVLMConfig", "XVLMBase", "cross_entropy", "MlpHead", "make_base"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -311,3 +311,15 @@ class XVLMBase(nn.Module):
             loss_l1 = loss_l1 * keep[:, None]
             loss_giou = loss_giou * keep
         return jnp.sum(loss_l1) / num, jnp.sum(loss_giou) / num
+
+
+def make_base(config: XVLMConfig, dtype=jnp.bfloat16) -> "XVLMBase":
+    """Pick XVLMBase vs XVLMPlusBase by config type, so every task head works
+    on both the fused-stack model and the Plus/CCLM variant (reference
+    duplicates each head for XVLM and XVLMPlus; e.g. XGQA.py:181,
+    XVNLI.py:134, WIT.py:251 all instantiate Plus heads)."""
+    from x2vlm_tpu.models.xvlm_plus import XVLMPlusBase, XVLMPlusConfig
+
+    if isinstance(config, XVLMPlusConfig):
+        return XVLMPlusBase(config, dtype=dtype)
+    return XVLMBase(config, dtype=dtype)

@@ -61,28 +61,61 @@ def make_train_step(
     loss_weights: Optional[Dict[str, float]] = None,
     apply_kwargs: Optional[Dict[str, Any]] = None,
     donate: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Single-stream fused step: grads + update in one jit.
 
     ``model.apply`` is called as ``model.apply(vars, batch-or-args..., rng=,
-    rngs={'dropout'})`` and must return a dict of scalar losses."""
+    rngs={'dropout'})`` and must return a dict of scalar losses.
+
+    ``accum_steps > 1``: gradient accumulation as a ``lax.scan`` over
+    microbatches (reference fine-tune scripts' loss/accum + step-every-N,
+    Retrieval.py:40,49-59) — the leading batch dim splits into
+    (accum, B/accum); grads are averaged. NOTE: losses with cross-sample
+    coupling (in-batch ITC/ITM) see microbatch-local negatives, exactly like
+    the reference's accumulation."""
     apply_kwargs = dict(apply_kwargs or {})
 
     def step(state: TrainState, batch, rng):
         rng_itm, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
 
-        def loss_fn(params):
+        def loss_fn(params, mb, key_i, key_d):
             losses = model.apply(
                 {"params": params},
-                batch,
-                rng=rng_itm,
-                rngs={"dropout": rng_drop},
+                mb,
+                rng=key_i,
+                rngs={"dropout": key_d},
                 **apply_kwargs,
             )
             return _total_loss(losses, loss_weights), losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        if accum_steps <= 1:
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng_itm, rng_drop)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]) if hasattr(x, "shape") and
+                x.ndim >= 1 else x, batch)
+
+            def body(carry, xs):
+                grads_acc, total_acc = carry
+                mb, i = xs
+                (t, losses_i), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, jax.random.fold_in(rng_itm, i),
+                    jax.random.fold_in(rng_drop, i))
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                return (grads_acc, total_acc + t), losses_i
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+            (grads, total), losses_stacked = jax.lax.scan(
+                body, (zero_grads, jnp.asarray(0.0, jnp.float32)),
+                (micro, jnp.arange(accum_steps)))
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            total = total * inv
+            losses = jax.tree_util.tree_map(jnp.mean, losses_stacked)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
