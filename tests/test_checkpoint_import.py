@@ -123,3 +123,56 @@ def test_features_and_heads_parity(parity_setup):
     np.testing.assert_allclose(np.asarray(itm), ref["itm"], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(mlm), ref["mlm"], rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(bbox), ref["bbox"], rtol=1e-4, atol=1e-4)
+
+
+def test_converter_vqa_decoder_and_cls_head_keys():
+    """Structural conversion of fine-tuned-checkpoint extras (text_decoder,
+    cls_head) without a full golden model."""
+    rng = np.random.default_rng(0)
+    d, inter, vocab = 8, 16, 20
+
+    def lin(out_d, in_d):
+        return {"weight": rng.standard_normal((out_d, in_d)).astype(np.float32),
+                "bias": np.zeros(out_d, np.float32)}
+
+    sd = {}
+    for i in range(2):
+        p = f"text_decoder.bert.encoder.layer.{i}"
+        for proj in ("query", "key", "value"):
+            for k, v in lin(d, d).items():
+                sd[f"{p}.attention.self.{proj}.{k}"] = v
+                sd[f"{p}.crossattention.self.{proj}.{k}"] = v
+        for blk in ("attention.output", "crossattention.output"):
+            for k, v in lin(d, d).items():
+                sd[f"{p}.{blk}.dense.{k}"] = v
+            sd[f"{p}.{blk}.LayerNorm.weight"] = np.ones(d, np.float32)
+            sd[f"{p}.{blk}.LayerNorm.bias"] = np.zeros(d, np.float32)
+        for k, v in lin(inter, d).items():
+            sd[f"{p}.intermediate.dense.{k}"] = v
+        for k, v in lin(d, inter).items():
+            sd[f"{p}.output.dense.{k}"] = v
+        sd[f"{p}.output.LayerNorm.weight"] = np.ones(d, np.float32)
+        sd[f"{p}.output.LayerNorm.bias"] = np.zeros(d, np.float32)
+    sd["text_decoder.bert.embeddings.word_embeddings.weight"] = \
+        rng.standard_normal((vocab, d)).astype(np.float32)
+    for k, v in lin(d, d).items():
+        sd[f"text_decoder.cls.predictions.transform.dense.{k}"] = v
+    sd["text_decoder.cls.predictions.transform.LayerNorm.weight"] = np.ones(d, np.float32)
+    sd["text_decoder.cls.predictions.transform.LayerNorm.bias"] = np.zeros(d, np.float32)
+    sd["text_decoder.cls.predictions.decoder.weight"] = \
+        rng.standard_normal((vocab, d)).astype(np.float32)
+    sd["text_decoder.cls.predictions.bias"] = np.zeros(vocab, np.float32)
+    # cls_head build_mlp
+    for k, v in lin(2 * d, d).items():
+        sd[f"cls_head.0.{k}"] = v
+    sd["cls_head.1.weight"] = np.ones(2 * d, np.float32)
+    sd["cls_head.1.bias"] = np.zeros(2 * d, np.float32)
+    for k, v in lin(2, 2 * d).items():
+        sd[f"cls_head.3.{k}"] = v
+
+    tree, unused = convert_xvlm_state_dict(sd, vision_depth=0)
+    assert unused == [], unused
+    assert tree["text_decoder"]["layer_1"]["cross_attn"]["query"]["kernel"].shape == (d, d)
+    assert tree["text_decoder"]["embeddings"]["word_embeddings"]["embedding"].shape == (vocab, d)
+    assert tree["dec_head"]["decoder"]["kernel"].shape == (d, vocab)
+    assert tree["cls_head"]["fc2"]["kernel"].shape == (2 * d, 2)

@@ -21,19 +21,9 @@ from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, cross_entropy, make_base
 __all__ = ["XVLMForClassification", "XVLMForNLVR"]
 
 
-class ClsHead(nn.Module):
-    """dense → ReLU → dense (reference model_classification.py:22-27)."""
-
-    num_labels: int
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        d = x.shape[-1]
-        x = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        x = jax.nn.relu(x)
-        return nn.Dense(self.num_labels, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name="fc2")(x)
+from x2vlm_tpu.models.xvlm import MlpHead as ClsHead  # build_mlp parity:
+# Linear(2x) -> LayerNorm -> GELU -> Linear (reference model_classification.py
+# cls_head = build_mlp, xvlm.py:163-169) — same structure as itm/bbox heads.
 
 
 class XVLMForClassification(nn.Module):

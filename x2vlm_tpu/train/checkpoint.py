@@ -217,7 +217,9 @@ def convert_xvlm_state_dict(
             _set(tree, f"{name}/bias", take(f"{name}.bias"))
     if "temp" in sd:
         _set(tree, "temp", take("temp").reshape(()))
-    for head in ("itm_head", "bbox_head"):
+    # build_mlp heads (Sequential Linear/LayerNorm/GELU/Linear → fc1/ln/fc2);
+    # cls_head covers NLVR / classification fine-tuned checkpoints
+    for head in ("itm_head", "bbox_head", "cls_head"):
         if f"{head}.0.weight" in sd:
             _set(tree, f"{head}/fc1/kernel", _t(take(f"{head}.0.weight")))
             _set(tree, f"{head}/fc1/bias", take(f"{head}.0.bias"))
@@ -226,18 +228,111 @@ def convert_xvlm_state_dict(
             _set(tree, f"{head}/fc2/kernel", _t(take(f"{head}.3.weight")))
             _set(tree, f"{head}/fc2/bias", take(f"{head}.3.bias"))
 
+    # ---- VQA decoder stack (fine-tuned checkpoints: text_decoder.*) ----
+    dprefix = None
+    for cand in ("text_decoder.bert.", "text_decoder.roberta.", "text_decoder."):
+        if any(k.startswith(cand + "encoder.layer.") for k in sd):
+            dprefix = cand
+            break
+    if dprefix is not None:
+        dec_re = re.compile(re.escape(dprefix + "encoder.layer.") + r"(\d+)\.")
+        n_dec = 1 + max((int(m.group(1)) for k in sd if (m := dec_re.match(k))),
+                        default=-1)
+        for src, dst in emb_map.items():
+            key = dprefix + src
+            if key in sd:
+                _set(tree, "text_decoder/" + dst.split("text_encoder/")[1],
+                     take(key))
+        if dprefix + "embeddings.LayerNorm.weight" in sd:
+            _set(tree, "text_decoder/embeddings/ln/scale",
+                 take(dprefix + "embeddings.LayerNorm.weight"))
+            _set(tree, "text_decoder/embeddings/ln/bias",
+                 take(dprefix + "embeddings.LayerNorm.bias"))
+        for i in range(n_dec):
+            p = dprefix + f"encoder.layer.{i}"
+            q = f"text_decoder/layer_{i}"
+            for attn_src, attn_dst in (("attention.self", "self_attn"),
+                                       ("crossattention.self", "cross_attn")):
+                if f"{p}.{attn_src}.query.weight" not in sd:
+                    continue
+                for proj in ("query", "key", "value"):
+                    _set(tree, f"{q}/{attn_dst}/{proj}/kernel",
+                         _t(take(f"{p}.{attn_src}.{proj}.weight")))
+                    _set(tree, f"{q}/{attn_dst}/{proj}/bias",
+                         take(f"{p}.{attn_src}.{proj}.bias"))
+                out_src = attn_src.replace(".self", ".output")
+                _set(tree, f"{q}/{attn_dst}/out/kernel",
+                     _t(take(f"{p}.{out_src}.dense.weight")))
+                _set(tree, f"{q}/{attn_dst}/out/bias",
+                     take(f"{p}.{out_src}.dense.bias"))
+                ln_dst = "attn_ln" if attn_dst == "self_attn" else "cross_ln"
+                _set(tree, f"{q}/{ln_dst}/scale",
+                     take(f"{p}.{out_src}.LayerNorm.weight"))
+                _set(tree, f"{q}/{ln_dst}/bias",
+                     take(f"{p}.{out_src}.LayerNorm.bias"))
+            if f"{p}.intermediate.dense.weight" in sd:
+                _set(tree, f"{q}/mlp/fc1/kernel",
+                     _t(take(f"{p}.intermediate.dense.weight")))
+                _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.intermediate.dense.bias"))
+                _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{p}.output.dense.weight")))
+                _set(tree, f"{q}/mlp/fc2/bias", take(f"{p}.output.dense.bias"))
+                _set(tree, f"{q}/mlp_ln/scale", take(f"{p}.output.LayerNorm.weight"))
+                _set(tree, f"{q}/mlp_ln/bias", take(f"{p}.output.LayerNorm.bias"))
+        for hp in ("text_decoder.cls.predictions.", "text_decoder.lm_head."):
+            if hp + "transform.dense.weight" in sd:
+                _set(tree, "dec_head/transform_dense/kernel",
+                     _t(take(hp + "transform.dense.weight")))
+                _set(tree, "dec_head/transform_dense/bias",
+                     take(hp + "transform.dense.bias"))
+                _set(tree, "dec_head/transform_ln/scale",
+                     take(hp + "transform.LayerNorm.weight"))
+                _set(tree, "dec_head/transform_ln/bias",
+                     take(hp + "transform.LayerNorm.bias"))
+                _set(tree, "dec_head/decoder/kernel", _t(take(hp + "decoder.weight")))
+                bias_key = hp + "bias" if hp + "bias" in sd else hp + "decoder.bias"
+                _set(tree, "dec_head/decoder/bias", take(bias_key))
+                used.add(hp + "decoder.bias")
+                used.add(hp + "bias")
+
     unused = sorted(set(sd) - used)
     return tree, unused
+
+
+_HEAD_LEVEL_KEYS = ("text_decoder", "dec_head", "cls_head")
 
 
 def merge_imported(init_params, imported_base: Dict[str, Any], scope: str = "base"):
     """Overlay an imported tree onto freshly-initialized params, checking
     shapes. Missing keys keep their fresh init (== reference `strict=False`
-    load + init_params tracking, xvlm.py:608-613). Returns (params, missing)."""
+    load + init_params tracking, xvlm.py:608-613). Returns (params, missing).
+
+    Subtrees living at the task-head level rather than inside the composition
+    core (VQA decoder, classification head) are routed there automatically."""
     import flax
 
     params = flax.core.unfreeze(init_params)
-    target = params["params"][scope]
+    root = params["params"]
+    imported_base = dict(imported_base)
+    # route head-level subtrees
+    for key in _HEAD_LEVEL_KEYS:
+        if key in imported_base and key in root and key not in root.get(scope, {}):
+            sub = imported_base.pop(key)
+            missing_sub: list = []
+
+            def walk_sub(dst, src, path):
+                for k, v in dst.items():
+                    p = f"{path}/{k}" if path else k
+                    if isinstance(v, dict):
+                        walk_sub(v, src.get(k, {}) if isinstance(src, dict) else {}, p)
+                    elif isinstance(src, dict) and k in src:
+                        new = np.asarray(src[k])
+                        if new.shape != v.shape:
+                            raise ValueError(
+                                f"shape mismatch at {key}/{p}: ckpt {new.shape} vs {v.shape}")
+                        dst[k] = jnp.asarray(new, v.dtype)
+
+            walk_sub(root[key], sub, "")
+    target = root[scope]
     missing = []
 
     def walk(dst, src, path):
