@@ -134,3 +134,23 @@ def test_local_io_helpers(tmp_path):
     assert hexists(str(f))
     assert hcountline(str(f)) == 3
     assert str(f) in hlist_files([str(tmp_path)])
+
+
+def test_collect_results_fs(tmp_path):
+    from x2vlm_tpu.tasks.collect import collect_results_fs, dedup_by_key
+
+    r0 = [{"question_id": 1, "answer": "a"}, {"question_id": 2, "answer": "b"}]
+    r1 = [{"question_id": 2, "answer": "b"}, {"question_id": 3, "answer": "c"}]
+    assert collect_results_fs(r1, str(tmp_path), "res", host_id=1, num_hosts=2) is None
+    merged = collect_results_fs(r0, str(tmp_path), "res", host_id=0, num_hosts=2,
+                                dedup_key="question_id")
+    assert sorted(r["question_id"] for r in merged) == [1, 2, 3]
+    assert (tmp_path / "res.json").exists()
+    assert dedup_by_key(r0 + r1, "question_id") == r0 + [r1[1]]
+
+
+def test_collect_results_single_host():
+    from x2vlm_tpu.tasks.collect import collect_results
+
+    out = collect_results([{"question_id": 1}], dedup_key="question_id")
+    assert out == [{"question_id": 1}]
