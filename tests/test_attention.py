@@ -99,6 +99,25 @@ for (Sq, Skv, causal, with_bias, with_mask) in [
     out = flash_attention(q, k, v, bias=bias, key_mask=km, causal=causal)
     ref = _xla_attention(q, k, v, bias, km, causal, D ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    # gradient parity: pallas backward kernels vs XLA autodiff
+    import jax
+    def loss_flash(q_, k_, v_, b_):
+        o = flash_attention(q_, k_, v_, bias=b_, key_mask=km, causal=causal)
+        return jnp.sum(o * o)
+    def loss_xla(q_, k_, v_, b_):
+        o = _xla_attention(q_, k_, v_, b_, km, causal, D ** -0.5)
+        return jnp.sum(o * o)
+    if bias is not None:
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    else:
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v, None)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v, None)
+    for name, a, b in zip("qkvb", gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f"grad {name} Sq={Sq} Skv={Skv} causal={causal} bias={with_bias}")
 print("FLASH_OK")
 """
 

@@ -196,6 +196,39 @@ def convert_xvlm_state_dict(
             _set(tree, f"{q}/mlp_ln/scale", take(f"{p}.output.LayerNorm.weight"))
             _set(tree, f"{q}/mlp_ln/bias", take(f"{p}.output.LayerNorm.bias"))
 
+    # ---- standalone cross encoder (XVLMPlus/CCLM checkpoints) ----
+    cross_re = re.compile(r"cross_encoder\.(?:bert\.)?encoder\.layer\.(\d+)\.")
+    n_cross = 1 + max((int(m.group(1)) for k in sd if (m := cross_re.match(k))),
+                      default=-1)
+    for i in range(n_cross):
+        base = next(p for p in (f"cross_encoder.bert.encoder.layer.{i}",
+                                f"cross_encoder.encoder.layer.{i}")
+                    if f"{p}.attention.self.query.weight" in sd)
+        q = f"cross_encoder/layer_{i}"
+        for attn_src, attn_dst in (("attention.self", "self_attn"),
+                                   ("crossattention.self", "cross_attn")):
+            if f"{base}.{attn_src}.query.weight" not in sd:
+                continue
+            for proj in ("query", "key", "value"):
+                _set(tree, f"{q}/{attn_dst}/{proj}/kernel",
+                     _t(take(f"{base}.{attn_src}.{proj}.weight")))
+                _set(tree, f"{q}/{attn_dst}/{proj}/bias",
+                     take(f"{base}.{attn_src}.{proj}.bias"))
+            out_src = attn_src.replace(".self", ".output")
+            _set(tree, f"{q}/{attn_dst}/out/kernel",
+                 _t(take(f"{base}.{out_src}.dense.weight")))
+            _set(tree, f"{q}/{attn_dst}/out/bias", take(f"{base}.{out_src}.dense.bias"))
+            ln_dst = "attn_ln" if attn_dst == "self_attn" else "cross_ln"
+            _set(tree, f"{q}/{ln_dst}/scale", take(f"{base}.{out_src}.LayerNorm.weight"))
+            _set(tree, f"{q}/{ln_dst}/bias", take(f"{base}.{out_src}.LayerNorm.bias"))
+        if f"{base}.intermediate.dense.weight" in sd:
+            _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{base}.intermediate.dense.weight")))
+            _set(tree, f"{q}/mlp/fc1/bias", take(f"{base}.intermediate.dense.bias"))
+            _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{base}.output.dense.weight")))
+            _set(tree, f"{q}/mlp/fc2/bias", take(f"{base}.output.dense.bias"))
+            _set(tree, f"{q}/mlp_ln/scale", take(f"{base}.output.LayerNorm.weight"))
+            _set(tree, f"{q}/mlp_ln/bias", take(f"{base}.output.LayerNorm.bias"))
+
     # ---- MLM head (cls.predictions / lm_head for roberta) ----
     if load_mlm_head:
         for hp in ("text_encoder.cls.predictions.", "text_encoder.lm_head."):
@@ -209,6 +242,19 @@ def convert_xvlm_state_dict(
                 _set(tree, "mlm_head/decoder/bias", take(bias_key))
                 used.add(hp + "decoder.bias")
                 used.add(hp + "bias")
+
+    # roberta lm_head naming: dense / layer_norm / decoder (xroberta.py:1269)
+    if load_mlm_head and "text_encoder.lm_head.dense.weight" in sd:
+        hp = "text_encoder.lm_head."
+        _set(tree, "mlm_head/transform_dense/kernel", _t(take(hp + "dense.weight")))
+        _set(tree, "mlm_head/transform_dense/bias", take(hp + "dense.bias"))
+        _set(tree, "mlm_head/transform_ln/scale", take(hp + "layer_norm.weight"))
+        _set(tree, "mlm_head/transform_ln/bias", take(hp + "layer_norm.bias"))
+        _set(tree, "mlm_head/decoder/kernel", _t(take(hp + "decoder.weight")))
+        bias_key = hp + "bias" if hp + "bias" in sd else hp + "decoder.bias"
+        _set(tree, "mlm_head/decoder/bias", take(bias_key))
+        used.add(hp + "decoder.bias")
+        used.add(hp + "bias")
 
     # ---- projections / heads / temp ----
     for name in ("vision_proj", "text_proj"):
