@@ -9,11 +9,15 @@ host-side loops measure the network, not the chip).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Baseline (BASELINE.md north star): 2,000 pairs/sec/chip on TPU v5e.
+
+Secondary tracked metrics (BASELINE.md): set X2VLM_BENCH=pretrain for the
+pretrain train-step time (base @224, batch 32/chip, itc+itm+mlm fwd+bwd+update).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,7 +26,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_pretrain_step():
+    import dataclasses
+
+    from x2vlm_tpu.models import XVLMConfig, XVLMForPretrain
+    from x2vlm_tpu.models.heads import pretrain_init_inputs
+    from x2vlm_tpu.train import (
+        create_optimizer, create_train_state, lr_schedule, make_train_step,
+    )
+
+    cfg = XVLMConfig.base(image_res=224)
+    model = XVLMForPretrain(cfg, dtype=jnp.bfloat16)
+    B, seq, n_mask = 32, 40, 12
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 224, 224, 3)), jnp.bfloat16),
+        "text_ids": jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, seq)), jnp.int32),
+        "text_atts": jnp.ones((B, seq), jnp.int32),
+        "text_ids_masked": jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, seq)), jnp.int32),
+        "masked_pos": jnp.asarray(rng.integers(0, seq, (B, n_mask)), jnp.int32),
+        "masked_ids": jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, n_mask)), jnp.int32),
+    }
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.PRNGKey(1)},
+        pretrain_init_inputs(cfg), rng=jax.random.PRNGKey(2),
+        ret_bbox_loss=True))(jax.random.PRNGKey(0))
+    tx = create_optimizer(variables["params"], lr_schedule(1e-4, 1000, 100))
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    _ = float(metrics["loss_total"])  # sync (compile + warm)
+    times = []
+    for r in range(4):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(4 + r))
+        _ = float(metrics["loss_total"])
+        times.append(time.perf_counter() - t0)
+    step_s = min(times)
+    print(json.dumps({
+        "metric": "pretrain_step_time_base_b32",
+        "value": round(step_s * 1000, 1),
+        "unit": "ms/step",
+        "vs_baseline": 0.0,  # reference publishes no step-time numbers
+    }))
+
+
 def main():
+    if os.environ.get("X2VLM_BENCH") == "pretrain":
+        return bench_pretrain_step()
     from x2vlm_tpu.models import XVLMConfig, XVLMForRetrieval
 
     import dataclasses

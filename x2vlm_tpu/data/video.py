@@ -115,3 +115,40 @@ class VideoRetrievalDataset:
             ids.append(a)
             atts.append(b)
         return np.stack(ids), np.stack(atts)
+
+
+class NextQAMCDataset:
+    """NExT-QA multiple choice (reference next_qa_mc_dataset,
+    vqa_dataset.py:651): 5 candidate answers per question; the model scores
+    each (question + candidate) against the video — emitted as 5 text rows
+    per sample plus the correct index."""
+
+    def __init__(self, ann_files, transform, video_root: str,
+                 text_pre: TextPreprocessor, frame_len: int = 5,
+                 num_options: int = 5, training: bool = True, rng=None):
+        self.ann = _load_annotations(ann_files)
+        self.transform = transform
+        self.video_root = video_root
+        self.text_pre = text_pre
+        self.frame_len = frame_len
+        self.num_options = num_options
+        self.training = training
+        self.rng = rng or random
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        a = self.ann[index]
+        frames = load_frames(a["video"], self.transform, self.frame_len,
+                             self.training, self.rng, self.video_root)
+        ids, atts = [], []
+        for i in range(self.num_options):
+            text = f"{a['question']} {a['options'][i]}"
+            ii, aa = self.text_pre(text)
+            ids.append(ii)
+            atts.append(aa)
+        return {"image": frames,
+                "option_ids": np.stack(ids),      # (K, L)
+                "option_atts": np.stack(atts),
+                "labels": np.int32(a["answer"])}
