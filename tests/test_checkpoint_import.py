@@ -176,3 +176,50 @@ def test_converter_vqa_decoder_and_cls_head_keys():
     assert tree["text_decoder"]["embeddings"]["word_embeddings"]["embedding"].shape == (vocab, d)
     assert tree["dec_head"]["decoder"]["kernel"].shape == (d, vocab)
     assert tree["cls_head"]["fc2"]["kernel"].shape == (2 * d, 2)
+
+
+def test_rel_pos_interpolation_import():
+    """224→384-style fine-tune: import a small-window checkpoint into a model
+    with a larger patch grid; tables interpolate, everything else transfers."""
+    from x2vlm_tpu.train.checkpoint import _interp_rel_pos_table
+
+    torch.manual_seed(1)
+    golden = GoldenXVLM().eval()  # 32px/16 → window 2, table (2*2-1)²+3 = 12
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=48, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=100, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0, attn_dropout=0.0,
+                        max_position_embeddings=64),
+        embed_dim=16)
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pretrain_init_inputs(cfg), rng=jax.random.PRNGKey(2),
+        ret_bbox_loss=True)
+
+    tree, unused = convert_xvlm_state_dict(sd, vision_depth=2, dst_window=3)
+    params, missing = merge_imported(init, tree)
+    assert unused == [] and missing == []
+    # interpolated table has the 3x3-window size: (2*3-1)² + 3 = 28 rows
+    assert params["params"]["base"]["vision_encoder"]["rel_pos_table_0"].shape \
+        == (28, 2)
+
+    # constant-table invariance: interpolation of a constant stays constant
+    const = np.concatenate([np.full((9, 2), 0.5, np.float32),
+                            np.zeros((3, 2), np.float32)])
+    out = _interp_rel_pos_table(const, src_window=2, dst_window=5)
+    np.testing.assert_allclose(out[:-3], 0.5, atol=1e-6)
+    np.testing.assert_allclose(out[-3:], 0.0)
+
+    # imported 48px model runs
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((2, 48, 48, 3)), jnp.float32)
+    embeds, _ = model.apply(
+        params, image,
+        method=lambda m, img: m.base.get_vision_embeds(img, deterministic=True))
+    assert embeds.shape == (2, 10, 32)
+    assert np.isfinite(np.asarray(embeds)).all()
