@@ -154,3 +154,48 @@ def test_collect_results_single_host():
 
     out = collect_results([{"question_id": 1}], dedup_key="question_id")
     assert out == [{"question_id": 1}]
+
+
+def test_video_qa_classification_end_to_end(tmp_path, tok):
+    """VideoQA dataset → XVLMForClassification with 5-D video input
+    (avgpool frame encoding) → evaluate_classification."""
+    import jax
+    import jax.numpy as jnp
+    from x2vlm_tpu.models import BEiT2Config, BertConfig, XVLMConfig
+    from x2vlm_tpu.models.classification import XVLMForClassification
+    from x2vlm_tpu.tasks.classification import evaluate_classification
+
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "v" / "clip0"
+    vdir.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            vdir / f"f{i}.png")
+    ann = [{"video": "clip0", "question": "the dog runs", "answer": "dog"}]
+    (tmp_path / "vqa2.json").write_text(json.dumps(ann))
+    pre = TextPreprocessor(tok, max_tokens=8)
+    ds = VideoQADataset(str(tmp_path / "vqa2.json"), T.test_transform(32),
+                        str(tmp_path / "v"), pre, ["dog", "cat"],
+                        frame_len=2, training=False)
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=len(tok.get_vocab()), hidden_size=32,
+                        num_layers=4, fusion_layer=2, num_heads=2,
+                        intermediate_size=64, encoder_width=32,
+                        hidden_dropout=0.0, attn_dropout=0.0),
+        embed_dim=16, video_encoding="avgpool", frame_len=2,
+        add_frame_pos=True)
+    model = XVLMForClassification(cfg, num_labels=2, dtype=jnp.float32)
+    s = ds[0]
+    batch = {"image": jnp.asarray(s["image"])[None],
+             "text_ids": jnp.asarray(s["text_ids"])[None],
+             "text_atts": jnp.asarray(s["text_atts"])[None],
+             "labels": jnp.asarray([s["labels"]])}
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, batch)
+    assert "frame_pos_embed" in v["params"]["base"]
+    out = model.apply(v, batch, deterministic=True)
+    assert np.isfinite(float(out["loss_cls"]))
+    metrics = evaluate_classification(model, v, ds, batch_size=1)
+    assert metrics["n"] == 1
