@@ -113,8 +113,15 @@ def load_initial_params(args, cfg, model, init_variables):
         print(f"### imported {args.checkpoint}: "
               f"{len(unused)} unused keys, {len(missing)} missing (fresh) params")
         return params, missing
-    restored, step = ckpt_lib.restore_train_state(args.checkpoint, init_variables)
-    return restored, []
+    # orbax checkpoint dir: saved objects are TrainStates — restore without a
+    # template and extract the param tree
+    restored, step = ckpt_lib.restore_train_state(args.checkpoint, None)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint found at {args.checkpoint}")
+    params = restored["params"] if isinstance(restored, dict) and \
+        "params" in restored else getattr(restored, "params", restored)
+    print(f"### restored step {step} from {args.checkpoint}")
+    return {"params": params}, []
 
 
 def run_retrieval(args, cfg, mesh):

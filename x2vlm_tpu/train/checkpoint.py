@@ -415,5 +415,9 @@ def restore_train_state(ckpt_dir: str, abstract_state, step: Optional[int] = Non
         step = mgr.latest_step() if step is None else step
         if step is None:
             return None, None
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        if abstract_state is None:
+            restored = mgr.restore(step)
+        else:
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state))
         return restored, step
