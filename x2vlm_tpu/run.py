@@ -500,6 +500,53 @@ def run_captioning(args, cfg, mesh):
                      eval_fn=eval_fn, metric_key="cider" if anns else None)
 
 
+def run_classification(args, cfg, mesh):
+    """Covers XVNLI (image NLI) and video QA over an answer vocabulary
+    (VQA_msrvtt/VQA_msvd); dataset kind from config `dataset_type`."""
+    import json as _json
+
+    from x2vlm_tpu.data import MapLoader, TextPreprocessor, build_tokenizer
+    from x2vlm_tpu.data import transforms as T
+    from x2vlm_tpu.tasks.classification import evaluate_classification
+
+    tokenizer = build_tokenizer(cfg["text_encoder"])
+    pre = TextPreprocessor(tokenizer, max_tokens=cfg.get("max_tokens", 40))
+    res = cfg["image_res"]
+    kind = cfg.get("dataset_type", "xvnli")
+    if kind == "video_qa":
+        from x2vlm_tpu.data.video import VideoQADataset
+
+        with open(cfg["answer_list"]) as f:
+            answers = _json.load(f)
+        cfg["num_labels"] = len(answers)
+        train_ds = VideoQADataset(cfg["train_file"], T.train_transform(res),
+                                  cfg["video_root"], pre, answers,
+                                  frame_len=cfg.get("frame_len", 5))
+        test_ds = VideoQADataset(cfg["test_file"], T.test_transform(res),
+                                 cfg["video_root"], pre, answers,
+                                 frame_len=cfg.get("frame_len", 5),
+                                 training=False)
+    else:
+        from x2vlm_tpu.data.iglue import XVNLIDataset
+
+        cfg.setdefault("num_labels", 3)
+        train_ds = XVNLIDataset(cfg["train_file"], T.train_transform(res),
+                                cfg["image_root"], pre)
+        test_ds = XVNLIDataset(cfg["test_file"], T.test_transform(res),
+                               cfg["image_root"], pre)
+
+    model, mcfg = build_model(cfg, "classification")
+    loader = MapLoader(train_ds, cfg.get("batch_size", 32),
+                       host_id=jax.process_index(), num_hosts=jax.process_count())
+    example = train_ds[0]
+    example = {k: jnp.asarray(np.stack([v, v])) for k, v in example.items()}
+    eval_fn = lambda v: evaluate_classification(
+        model, v, test_ds, batch_size=cfg.get("batch_size_test", 32),
+        host_id=jax.process_index(), num_hosts=jax.process_count())
+    _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
+                     eval_fn=eval_fn, metric_key="accuracy")
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg, mesh = setup(args)
@@ -511,6 +558,7 @@ def main(argv=None):
         "grounding": run_grounding,
         "vqa": run_vqa,
         "captioning": run_captioning,
+        "classification": run_classification,
     }
     if args.task not in runners:
         raise SystemExit(f"task {args.task!r}: no CLI runner yet")
