@@ -29,15 +29,19 @@ class PretrainStreams:
 
     def __init__(self, image: Iterator, region: Optional[Iterator] = None,
                  video: Optional[Iterator] = None, text: Optional[Iterator] = None,
+                 aux: Optional[Iterator] = None,
                  region_perc: float = 1.0, video_perc: float = 1.0,
-                 text_perc: float = 1.0, rng: Optional[random.Random] = None):
+                 text_perc: float = 1.0, aux_perc: float = 0.0,
+                 rng: Optional[random.Random] = None):
         self.image = image
         self.region = region
         self.video = video
         self.text = text
+        self.aux = aux  # clean-data image-text stream (reference aux_iter_perc)
         self.region_perc = region_perc
         self.video_perc = video_perc
         self.text_perc = text_perc
+        self.aux_perc = aux_perc
         self.rng = rng or random.Random(0)
 
     def draw(self):
@@ -46,6 +50,7 @@ class PretrainStreams:
             "region": self.region is not None and self.rng.random() < self.region_perc,
             "video": self.video is not None and self.rng.random() < self.video_perc,
             "text": self.text is not None and self.rng.random() < self.text_perc,
+            "aux": self.aux is not None and self.rng.random() < self.aux_perc,
         }
 
 
@@ -102,6 +107,11 @@ def pretrain_loop(
             g3, l3 = g_img(state.params, vb, jax.random.fold_in(key, 2))
             grads = tree_add(grads, g3)
             metrics.update({f"video_{k}": v for k, v in l3.items()})
+        if draw["aux"]:
+            ab = shard_fn(next(streams.aux))
+            g5, l5 = g_img(state.params, ab, jax.random.fold_in(key, 4))
+            grads = tree_add(grads, g5)
+            metrics.update({f"aux_{k}": v for k, v in l5.items()})
         if draw["text"]:
             tb = dict(shard_fn(next(streams.text)))
             tb["image"] = None
