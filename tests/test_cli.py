@@ -101,3 +101,69 @@ def test_cli_retrieval_end_to_end(tmp_path):
     rec = json.loads(log[-1])
     assert "eval_r_mean" in rec
     assert (out_dir / "config.yaml").exists()
+
+
+def _tiny_model_cfg(tok_dir):
+    return {
+        "image_res": 32,
+        "vision_config_inline": {"vision_width": 32, "patch_size": 16,
+                                 "num_hidden_layers": 2,
+                                 "num_attention_heads": 2},
+        "text_encoder": str(tok_dir),
+        "text_num_hidden_layers": 4,
+        "text_fusion_start_at": 2,
+        "text_config_inline": {"vocab_size": 31, "hidden_size": 32,
+                               "num_heads": 2, "intermediate_size": 64,
+                               "hidden_dropout": 0.0, "attn_dropout": 0.0},
+        "embed_dim": 16,
+        "max_tokens": 10,
+        "batch_size": 8,
+        "optimizer": {"lr": 1e-3, "weight_decay": 0.01},
+        "schedular": {"epochs": 1, "num_warmup_steps": 0},
+    }
+
+
+@pytest.mark.slow
+def test_cli_nlvr_and_grounding(tmp_path):
+    from x2vlm_tpu.run import main
+
+    tok_dir = _write_vocab_dir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+
+    nlvr_ann = [{"images": [f"im{i}.png", f"im{(i+1) % 8}.png"],
+                 "sentence": "the dog runs",
+                 "label": "True" if i % 2 else "False"} for i in range(8)]
+    (tmp_path / "nlvr.json").write_text(json.dumps(nlvr_ann))
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({"train_file": [str(tmp_path / "nlvr.json")],
+                "test_file": [str(tmp_path / "nlvr.json")],
+                "image_root": str(img_dir), "batch_size_test": 4})
+    (tmp_path / "nlvr.yaml").write_text(yaml.safe_dump(cfg))
+    main(["--task", "nlvr", "--config", str(tmp_path / "nlvr.yaml"),
+          "--output_dir", str(tmp_path / "out_nlvr"), "--seed", "0"])
+    rec = json.loads((tmp_path / "out_nlvr" / "log.txt").read_text()
+                     .strip().splitlines()[-1])
+    assert "eval_accuracy" in rec
+
+    ground_ann = [{"image": f"im{i}.png", "text": "small red house",
+                   "bbox": [8, 8, 16, 16], "ref_id": i} for i in range(8)]
+    (tmp_path / "ground.json").write_text(json.dumps(ground_ann))
+    refs = {str(i): {"split": "val", "bbox": [8, 8, 16, 16],
+                     "width": 40, "height": 40} for i in range(8)}
+    (tmp_path / "refs.json").write_text(json.dumps(refs))
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({"train_file": [str(tmp_path / "ground.json")],
+                "test_file": [str(tmp_path / "ground.json")],
+                "refs_file": str(tmp_path / "refs.json"),
+                "image_root": str(img_dir), "batch_size_test": 4})
+    (tmp_path / "ground.yaml").write_text(yaml.safe_dump(cfg))
+    main(["--task", "grounding", "--config", str(tmp_path / "ground.yaml"),
+          "--output_dir", str(tmp_path / "out_ground"), "--seed", "0"])
+    rec = json.loads((tmp_path / "out_ground" / "log.txt").read_text()
+                     .strip().splitlines()[-1])
+    assert "eval_val_acc" in rec
