@@ -167,3 +167,56 @@ def test_cli_nlvr_and_grounding(tmp_path):
     rec = json.loads((tmp_path / "out_ground" / "log.txt").read_text()
                      .strip().splitlines()[-1])
     assert "eval_val_acc" in rec
+
+
+@pytest.mark.slow
+def test_cli_vqa_and_captioning(tmp_path):
+    from x2vlm_tpu.run import main
+
+    tok_dir = _write_vocab_dir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+
+    vqa_ann = [{"image": f"im{i}.png", "question": "the dog or cat",
+                "answer": ["dog"], "question_id": i} for i in range(8)]
+    (tmp_path / "vqa.json").write_text(json.dumps(vqa_ann))
+    (tmp_path / "answers.json").write_text(json.dumps(["dog", "cat", "fox"]))
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({"train_file": [str(tmp_path / "vqa.json")],
+                "test_file": [str(tmp_path / "vqa.json")],
+                "answer_list": str(tmp_path / "answers.json"),
+                "image_root": str(img_dir), "vqa_root": str(img_dir),
+                "num_dec_layers": 2, "k_test": 2, "batch_size_test": 4,
+                "answer_max_tokens": 5})
+    (tmp_path / "vqa.yaml").write_text(yaml.safe_dump(cfg))
+    main(["--task", "vqa", "--config", str(tmp_path / "vqa.yaml"),
+          "--output_dir", str(tmp_path / "out_vqa"), "--seed", "0"])
+    rec = json.loads((tmp_path / "out_vqa" / "log.txt").read_text()
+                     .strip().splitlines()[-1])
+    assert rec["eval_n"] == 8
+    results = json.loads((tmp_path / "out_vqa" / "vqa_result_host0.json").read_text())
+    assert len(results) == 8
+    assert all(r["answer"] in ("dog", "cat", "fox") for r in results)
+
+    cap_ann = [{"image": f"im{i}.png", "caption": ["the quick brown fox runs"],
+                "image_id": i} for i in range(8)]
+    (tmp_path / "cap.json").write_text(json.dumps(cap_ann))
+    gt = {str(i): ["the quick brown fox runs"] for i in range(8)}
+    (tmp_path / "cap_gt.json").write_text(json.dumps(gt))
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({"train_file": [str(tmp_path / "cap.json")],
+                "test_file": [str(tmp_path / "cap.json")],
+                "caption_gt_file": str(tmp_path / "cap_gt.json"),
+                "image_root": str(img_dir), "max_tokens": 12, "max_masks": 3,
+                "num_beams": 2, "min_length": 1, "max_length": 5,
+                "batch_size_test": 4})
+    (tmp_path / "cap.yaml").write_text(yaml.safe_dump(cfg))
+    main(["--task", "captioning", "--config", str(tmp_path / "cap.yaml"),
+          "--output_dir", str(tmp_path / "out_cap"), "--seed", "0"])
+    rec = json.loads((tmp_path / "out_cap" / "log.txt").read_text()
+                     .strip().splitlines()[-1])
+    assert "eval_cider" in rec
