@@ -199,3 +199,47 @@ def test_cached_decode_matches_full_forward(rng):
                           method=model.decode_step)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref_logits),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_top_k_top_p_filtering():
+    from x2vlm_tpu.models.generation import top_k_top_p_filtering
+
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0, 0.0]])
+    out = np.asarray(top_k_top_p_filtering(logits, top_k=2))
+    assert (out[0, [2, 3]] > -1e29).all()
+    assert (out[0, [0, 1, 4]] < -1e29).all()
+    # top_p keeps the smallest set with cumulative prob >= p
+    probs = np.asarray([[0.5, 0.3, 0.15, 0.05]])
+    out = np.asarray(top_k_top_p_filtering(jnp.log(jnp.asarray(probs)), top_p=0.7))
+    assert (out[0, :2] > -1e29).all()
+    assert (out[0, 2:] < -1e29).all()
+
+
+def test_sample_generate(rng):
+    from x2vlm_tpu.models.generation import sample_generate
+
+    cfg = tiny_cfg()
+    model = XVLMForVQA(cfg, num_dec_layers=2, pad_token_id=0, dtype=jnp.float32)
+    B = 2
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32),
+        "question_ids": jnp.asarray(rng.integers(1, 31, (B, 6)), jnp.int32),
+        "question_atts": jnp.ones((B, 6), jnp.int32),
+        "answer_ids": jnp.asarray(rng.integers(1, 31, (3, 4)), jnp.int32),
+        "answer_atts": jnp.ones((3, 4), jnp.int32),
+        "answer_index": jnp.asarray([0, 0, 1], jnp.int32),
+        "answer_weights": jnp.ones((3,), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    out = sample_generate(model, variables, batch, max_length=5,
+                          bos_token_id=2, eos_token_id=EOS_ID,
+                          top_k=5, rng_key=jax.random.PRNGKey(7))
+    assert out.shape == (2, 5)
+    assert (out >= 0).all() and (out < 31).all()
+    out_g = sample_generate(model, variables, batch, max_length=5,
+                            bos_token_id=2, eos_token_id=EOS_ID, greedy=True)
+    out_g2 = sample_generate(model, variables, batch, max_length=5,
+                             bos_token_id=2, eos_token_id=EOS_ID, greedy=True)
+    np.testing.assert_array_equal(out_g, out_g2)  # greedy is deterministic

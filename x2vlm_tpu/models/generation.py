@@ -26,7 +26,7 @@ from x2vlm_tpu.models.bert import BertConfig, BertEncoder, BertMLMHead
 from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
 __all__ = ["XVLMForVQA", "causal_lm_loss", "decoder_params_from_text_encoder",
-           "label_smoothing_loss"]
+           "label_smoothing_loss", "top_k_top_p_filtering", "sample_generate"]
 
 
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -170,3 +170,84 @@ def decoder_params_from_text_encoder(base_params: Dict, *, num_text_layers: int,
         out[f"layer_{j}"] = text[f"layer_{s}"]
     head = base_params.get("mlm_head")
     return {"text_decoder": out, "dec_head": head} if head else {"text_decoder": out}
+
+
+def top_k_top_p_filtering(logits: jnp.ndarray, top_k: int = 0,
+                          top_p: float = 1.0) -> jnp.ndarray:
+    """Filter logits to the top-k / nucleus top-p set (reference
+    xbert.py:1521 top_k_top_p_filtering). logits (B, V) fp32."""
+    neg = jnp.asarray(-1e30, logits.dtype)
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep first)
+        cutoff_mask = cum - probs > top_p
+        cutoff_logit = jnp.min(
+            jnp.where(cutoff_mask, jnp.asarray(jnp.inf, logits.dtype),
+                      sorted_logits), axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff_logit, neg, logits)
+    return logits
+
+
+def sample_generate(model: "XVLMForVQA", variables, batch, *, max_length: int,
+                    bos_token_id: int, eos_token_id: int, pad_token_id: int = 0,
+                    temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+                    greedy: bool = False, rng_key=None):
+    """Autoregressive decoding with the causal decoder + static KV cache
+    (reference xbert.py:1427 _generate_no_beam_search). Returns (B, max_length)
+    token ids, PAD after EOS."""
+    import numpy as np
+
+    B = batch["image"].shape[0]
+    cfg = model.dec_cfg if hasattr(model, "dec_cfg") else None
+    tcfg = model.config.text
+    head_dim = tcfg.hidden_size // tcfg.num_heads
+
+    states = model.apply(variables, batch["image"], batch["question_ids"],
+                         batch["question_atts"], method=model.encode_question)
+    q_atts = batch["question_atts"]
+
+    cache = [
+        {"k": jnp.zeros((B, max_length, tcfg.num_heads, head_dim), jnp.bfloat16),
+         "v": jnp.zeros((B, max_length, tcfg.num_heads, head_dim), jnp.bfloat16),
+         "index": jnp.asarray(0, jnp.int32)}
+        for _ in range(model.num_dec_layers)
+    ]
+
+    def dec_step(v, tok, index, cache):
+        def fn(m, tok_, index_, cache_):
+            cache_ = [dict(c, index=index_) for c in cache_]
+            h, new_cache = m.text_decoder(
+                tok_, position_ids=index_ + jnp.arange(1),
+                encoder_hidden_states=states, encoder_attention_mask=q_atts,
+                cache=cache_, deterministic=True)
+            return m.dec_head(h[:, -1, :]), new_cache
+
+        return model.apply(v, tok, index, cache, method=fn)
+
+    step_jit = jax.jit(dec_step)
+    rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    tok = jnp.full((B, 1), bos_token_id, jnp.int32)
+    out = np.full((B, max_length), pad_token_id, np.int64)
+    done = np.zeros(B, bool)
+    for t in range(max_length):
+        logits, cache = step_jit(variables, tok, jnp.asarray(t, jnp.int32), cache)
+        logits = logits.astype(jnp.float32) / max(temperature, 1e-6)
+        if greedy:
+            nxt = jnp.argmax(logits, axis=-1)
+        else:
+            logits = top_k_top_p_filtering(logits, top_k=top_k, top_p=top_p)
+            rng_key, sub = jax.random.split(rng_key)
+            nxt = jax.random.categorical(sub, logits, axis=-1)
+        nxt = np.asarray(nxt)
+        nxt = np.where(done, pad_token_id, nxt)
+        out[:, t] = nxt
+        done |= nxt == eos_token_id
+        if done.all():
+            break
+        tok = jnp.asarray(nxt[:, None].astype(np.int32))
+    return out
