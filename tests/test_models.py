@@ -204,3 +204,28 @@ def test_retrieval_losses_and_idx(rng):
     t_embeds, t_feat = model.apply(params, ids, atts, method=model.encode_texts)
     score = model.apply(params, embeds, t_embeds, atts, method=model.itm_score)
     assert score.shape == (bs,)
+
+
+def test_itm_local_negative_block(rng):
+    """itm_neg_block restricts hard negatives to in-block rows (reference
+    in-rank sampling parity)."""
+    import dataclasses
+    import jax
+
+    cfg = dataclasses.replace(tiny_xvlm(), itm_neg_block=2)
+    from x2vlm_tpu.models.xvlm import XVLMBase
+
+    model = XVLMBase(cfg, dtype=jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((8, cfg.embed_dim)), jnp.float32)
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        feats, feats, jax.random.PRNGKey(1),
+        method=XVLMBase.get_hard_negatives)
+    for seed in range(10):
+        img_neg, txt_neg = model.apply(
+            params, feats, feats, jax.random.PRNGKey(seed),
+            method=XVLMBase.get_hard_negatives)
+        for i, (a, b) in enumerate(zip(np.asarray(img_neg), np.asarray(txt_neg))):
+            assert a // 2 == i // 2 and a != i
+            assert b // 2 == i // 2 and b != i

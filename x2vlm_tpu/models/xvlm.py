@@ -51,6 +51,11 @@ class XVLMConfig:
     use_matching: bool = True
     use_mlm: bool = True
     use_bbox: bool = True
+    # ITM hard negatives: 0 = sample from the global batch (strict superset
+    # of the reference's in-rank pool); >0 = restrict sampling to blocks of
+    # this size along the batch (exact reference parity: set to the
+    # per-device batch size; reference xvlm.py:828-857 samples in-rank only)
+    itm_neg_block: int = 0
     # video (reference xvlm.py:482-501)
     video_encoding: str = ""          # "" | "avgpool"
     frame_len: int = 1
@@ -237,6 +242,9 @@ class XVLMBase(nn.Module):
         else:
             idx = idx.reshape(-1, 1)
             pos_mask = idx == idx.T
+        if self.config.itm_neg_block > 0:
+            blk = jnp.arange(bsz) // self.config.itm_neg_block
+            pos_mask = pos_mask | (blk[:, None] != blk[None, :])
         neg_inf = jnp.asarray(-1e30, sim_i2t.dtype)
         masked_i2t = jnp.where(pos_mask, neg_inf, sim_i2t)
         masked_t2i = jnp.where(pos_mask, neg_inf, sim_i2t.T)
