@@ -223,3 +223,52 @@ def test_rel_pos_interpolation_import():
         method=lambda m, img: m.base.get_vision_embeds(img, deterministic=True))
     assert embeds.shape == (2, 10, 32)
     assert np.isfinite(np.asarray(embeds)).all()
+
+
+def test_convert_beit2_checkpoint_shared_table_expansion():
+    from x2vlm_tpu.train.checkpoint import convert_beit2_checkpoint
+
+    torch.manual_seed(2)
+    golden = GoldenXVLM().eval()
+    # strip to a raw beit2-style state dict: per-block → shared table
+    sd = {k[len("vision_encoder."):]: v.detach().numpy()
+          for k, v in golden.state_dict().items()
+          if k.startswith("vision_encoder.")}
+    shared = sd.pop("blocks.0.attn.relative_position_bias_table")
+    sd.pop("blocks.1.attn.relative_position_bias_table")
+    sd["rel_pos_bias.relative_position_bias_table"] = shared
+    sd["head.weight"] = np.zeros((10, 32), np.float32)
+    sd["head.bias"] = np.zeros(10, np.float32)
+
+    tree, unused = convert_beit2_checkpoint(sd, depth=2)
+    assert unused == [], unused
+    np.testing.assert_array_equal(tree["rel_pos_table_0"], shared)
+    np.testing.assert_array_equal(tree["rel_pos_table_1"], shared)
+    assert tree["patch_embed"]["kernel"].shape == (16, 16, 3, 32)
+
+
+def test_convert_hf_bert_checkpoint_with_expansion():
+    from x2vlm_tpu.train.checkpoint import convert_hf_bert_checkpoint
+
+    torch.manual_seed(3)
+    golden = GoldenXVLM().eval()
+    # raw HF-style names: bert.* (drop the text_encoder prefix); only
+    # self-attention layers (a real HF BERT has no crossattention)
+    sd = {}
+    for k, v in golden.state_dict().items():
+        if k.startswith("text_encoder.bert.") and "crossattention" not in k:
+            sd[k[len("text_encoder."):]] = v.detach().numpy()
+        elif k.startswith("text_encoder.cls."):
+            sd[k[len("text_encoder."):]] = v.detach().numpy()
+
+    tree, unused = convert_hf_bert_checkpoint(sd, to_layers=6, fusion_layer=4)
+    text = tree["text_encoder"]
+    assert "mlm_head" in tree
+    # expansion: layers 0-3 identity, 4-5 duplicated from 2-3
+    np.testing.assert_array_equal(
+        text["layer_4"]["self_attn"]["query"]["kernel"],
+        text["layer_2"]["self_attn"]["query"]["kernel"])
+    np.testing.assert_array_equal(
+        text["layer_5"]["mlp"]["fc1"]["kernel"],
+        text["layer_3"]["mlp"]["fc1"]["kernel"])
+    assert "layer_5" in text and "layer_6" not in text

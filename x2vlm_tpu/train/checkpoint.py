@@ -398,6 +398,64 @@ def merge_imported(init_params, imported_base: Dict[str, Any], scope: str = "bas
     return params, missing
 
 
+def convert_beit2_checkpoint(sd: Dict[str, np.ndarray], *, depth: int,
+                             dst_window: Optional[int] = None) -> Dict[str, Any]:
+    """Import a raw BEiT-2 pretraining checkpoint (beitv2_*_pt1k_ft21k.pth:
+    keys ``blocks.{i}...``, optionally a *shared* ``rel_pos_bias`` table) as a
+    vision-encoder tree for from-scratch X2-VLM pretraining — the reference's
+    load_pretrained_beit2 (beit2.py:473-651): shared table expands to
+    per-block, windows interpolate, the classifier head is dropped."""
+    sd = dict(sd)
+    sd.pop("head.weight", None)
+    sd.pop("head.bias", None)
+    shared = sd.pop("rel_pos_bias.relative_position_bias_table", None)
+    if shared is not None:
+        for i in range(depth):
+            sd.setdefault(f"blocks.{i}.attn.relative_position_bias_table",
+                          np.array(shared))
+    prefixed = {"vision_encoder." + k: v for k, v in sd.items()}
+    tree, unused = convert_xvlm_state_dict(
+        prefixed, vision_depth=depth, dst_window=dst_window,
+        load_mlm_head=False)
+    return tree.get("vision_encoder", {}), [u[len("vision_encoder."):]
+                                            for u in unused]
+
+
+def convert_hf_bert_checkpoint(sd: Dict[str, np.ndarray], *,
+                               to_layers: Optional[int] = None,
+                               fusion_layer: int = 12) -> Dict[str, Any]:
+    """Import a raw HF BERT/RoBERTa checkpoint (keys ``bert.encoder.layer...``
+    or ``encoder.layer...``) as a text-encoder(+mlm head) tree, optionally
+    expanding 12→N layers by duplicating the upper half into the fusion slots
+    (reference build_text_encoder:286-387). Cross-attention params stay fresh
+    (the reference's init_params / lr_mult story)."""
+    from x2vlm_tpu.factory import expand_text_layers
+
+    renamed = {}
+    for k, v in sd.items():
+        if k.startswith("bert.") or k.startswith("roberta."):
+            renamed["text_encoder." + k] = v
+        elif k.startswith("cls.") or k.startswith("lm_head."):
+            renamed["text_encoder." + k] = v
+        elif k.startswith("embeddings.") or k.startswith("encoder."):
+            renamed["text_encoder.bert." + k] = v
+        else:
+            renamed["text_encoder." + k] = v
+    tree, unused = convert_xvlm_state_dict(renamed, vision_depth=0)
+    text = tree.get("text_encoder", {})
+    if to_layers is not None:
+        from_layers = 1 + max(
+            (int(k.split("_")[1]) for k in text if k.startswith("layer_")),
+            default=-1)
+        text = expand_text_layers(text, from_layers=from_layers,
+                                  to_layers=to_layers,
+                                  fusion_layer=fusion_layer)
+    out = {"text_encoder": text}
+    if "mlm_head" in tree:
+        out["mlm_head"] = tree["mlm_head"]
+    return out, unused
+
+
 # ---------- native checkpointing (orbax) ----------
 
 def save_train_state(ckpt_dir: str, state, step: int):
