@@ -115,3 +115,96 @@ def test_split_params_to_plus():
     out2 = split_params_to_plus(base, fusion_layer=3, num_layers=5,
                                 replace_text_encoder=True)
     assert "text_encoder" not in out2
+
+
+def _keys(tree, prefix=""):
+    out = set()
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out |= _keys(v, p)
+        else:
+            out.add(p)
+    return out
+
+
+def test_clip_vit_checkpoint_import_covers_tree(rng):
+    from x2vlm_tpu.train.checkpoint import convert_clip_vit_checkpoint
+
+    cfg = CLIPViTConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                        num_heads=2, intermediate_size=64)
+    model = CLIPViT(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    sd = {"vision_model.embeddings.patch_embedding.weight":
+              rng.standard_normal((32, 3, 16, 16)).astype(np.float32),
+          "vision_model.embeddings.class_embedding":
+              rng.standard_normal(32).astype(np.float32),
+          "vision_model.embeddings.position_embedding.weight":
+              rng.standard_normal((5, 32)).astype(np.float32),
+          "vision_model.embeddings.position_ids": np.arange(5),
+          "vision_model.pre_layrnorm.weight": np.ones(32, np.float32),
+          "vision_model.pre_layrnorm.bias": np.zeros(32, np.float32),
+          "vision_model.post_layernorm.weight": np.ones(32, np.float32),
+          "vision_model.post_layernorm.bias": np.zeros(32, np.float32)}
+    for i in range(2):
+        p = f"vision_model.encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{proj}.weight"] = rng.standard_normal((32, 32)).astype(np.float32)
+            sd[f"{p}.self_attn.{proj}.bias"] = np.zeros(32, np.float32)
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{p}.{ln}.weight"] = np.ones(32, np.float32)
+            sd[f"{p}.{ln}.bias"] = np.zeros(32, np.float32)
+        sd[f"{p}.mlp.fc1.weight"] = rng.standard_normal((64, 32)).astype(np.float32)
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros(64, np.float32)
+        sd[f"{p}.mlp.fc2.weight"] = rng.standard_normal((32, 64)).astype(np.float32)
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros(32, np.float32)
+
+    tree, unused = convert_clip_vit_checkpoint(sd, depth=2)
+    assert unused == [], unused
+    assert _keys(tree) == _keys(init)  # exact structural coverage
+
+
+def test_swin_checkpoint_import_covers_tree(rng):
+    from x2vlm_tpu.train.checkpoint import convert_swin_checkpoint
+
+    cfg = SwinConfig(image_res=32, patch_size=4, embed_dim=16,
+                     depths=(1, 1), num_heads=(2, 4), window_size=4,
+                     drop_path_rate=0.0)
+    model = SwinTransformer(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    sd = {"patch_embed.proj.weight": rng.standard_normal((16, 3, 4, 4)).astype(np.float32),
+          "patch_embed.proj.bias": np.zeros(16, np.float32),
+          "patch_embed.norm.weight": np.ones(16, np.float32),
+          "patch_embed.norm.bias": np.zeros(16, np.float32),
+          "norm.weight": np.ones(32, np.float32),
+          "norm.bias": np.zeros(32, np.float32),
+          "head.weight": np.zeros((10, 32), np.float32)}
+    for s, dim, heads in ((0, 16, 2), (1, 32, 4)):
+        p = f"layers.{s}.blocks.0"
+        for ln in ("norm1", "norm2"):
+            sd[f"{p}.{ln}.weight"] = np.ones(dim, np.float32)
+            sd[f"{p}.{ln}.bias"] = np.zeros(dim, np.float32)
+        sd[f"{p}.attn.qkv.weight"] = rng.standard_normal((3 * dim, dim)).astype(np.float32)
+        sd[f"{p}.attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+        sd[f"{p}.attn.proj.weight"] = rng.standard_normal((dim, dim)).astype(np.float32)
+        sd[f"{p}.attn.proj.bias"] = np.zeros(dim, np.float32)
+        window = 4
+        sd[f"{p}.attn.relative_position_bias_table"] = \
+            rng.standard_normal(((2 * window - 1) ** 2, heads)).astype(np.float32)
+        sd[f"{p}.attn.relative_position_index"] = np.zeros((16, 16), np.int64)
+        sd[f"{p}.mlp.fc1.weight"] = rng.standard_normal((4 * dim, dim)).astype(np.float32)
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros(4 * dim, np.float32)
+        sd[f"{p}.mlp.fc2.weight"] = rng.standard_normal((dim, 4 * dim)).astype(np.float32)
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros(dim, np.float32)
+    sd["layers.0.downsample.reduction.weight"] = \
+        rng.standard_normal((32, 64)).astype(np.float32)
+    sd["layers.0.downsample.norm.weight"] = np.ones(64, np.float32)
+    sd["layers.0.downsample.norm.bias"] = np.zeros(64, np.float32)
+
+    tree, unused = convert_swin_checkpoint(sd, depths=(1, 1))
+    assert unused == [], unused
+    assert _keys(tree) == _keys(init)

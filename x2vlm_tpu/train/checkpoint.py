@@ -421,6 +421,120 @@ def convert_beit2_checkpoint(sd: Dict[str, np.ndarray], *, depth: int,
                                             for u in unused]
 
 
+def convert_clip_vit_checkpoint(sd: Dict[str, np.ndarray], *, depth: int
+                                ) -> Dict[str, Any]:
+    """Import an OpenAI CLIP vision tower (HF layout after the reference's
+    renames, xvlm.py:179-217: ``vision_model.`` prefix stripped, embeddings
+    flattened) into the CLIPViT tree. Accepts either raw HF names
+    (``vision_model.encoder.layers...``) or pre-stripped ones."""
+    # normalize: strip vision_model./embeddings. like the reference loader
+    norm = {}
+    for k, v in sd.items():
+        if k.startswith("vision_model."):
+            k = k[len("vision_model."):]
+        if k.startswith("embeddings."):
+            k = k[len("embeddings."):]
+        k = k.replace("patch_embedding.weight", "patch_embed.weight")
+        k = k.replace("position_embedding.weight", "pos_embed.weight")
+        if k == "position_ids":
+            continue
+        norm[k] = v
+    tree: Dict[str, Any] = {}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return norm[key]
+
+    if "patch_embed.weight" in norm:
+        w = take("patch_embed.weight")  # (C, 3, p, p) conv, no bias
+        _set(tree, "patch_embed/kernel", w.transpose(2, 3, 1, 0))
+    if "class_embedding" in norm:
+        _set(tree, "class_embedding", take("class_embedding").reshape(-1))
+    if "pos_embed.weight" in norm:
+        _set(tree, "pos_embed", take("pos_embed.weight"))
+    for src, dst in (("pre_layrnorm", "pre_layernorm"),
+                     ("pre_layernorm", "pre_layernorm"),
+                     ("post_layernorm", "post_layernorm")):
+        if f"{src}.weight" in norm:
+            _set(tree, f"{dst}/scale", take(f"{src}.weight"))
+            _set(tree, f"{dst}/bias", take(f"{src}.bias"))
+    for i in range(depth):
+        p = f"encoder.layers.{i}"
+        q = f"block_{i}"
+        if f"{p}.self_attn.q_proj.weight" not in norm:
+            continue
+        for src, dst in (("q_proj", "query"), ("k_proj", "key"),
+                         ("v_proj", "value"), ("out_proj", "out")):
+            _set(tree, f"{q}/attn/{dst}/kernel",
+                 _t(take(f"{p}.self_attn.{src}.weight")))
+            _set(tree, f"{q}/attn/{dst}/bias", take(f"{p}.self_attn.{src}.bias"))
+        for ln in ("layer_norm1", "layer_norm2"):
+            _set(tree, f"{q}/{ln}/scale", take(f"{p}.{ln}.weight"))
+            _set(tree, f"{q}/{ln}/bias", take(f"{p}.{ln}.bias"))
+        _set(tree, f"{q}/fc1/kernel", _t(take(f"{p}.mlp.fc1.weight")))
+        _set(tree, f"{q}/fc1/bias", take(f"{p}.mlp.fc1.bias"))
+        _set(tree, f"{q}/fc2/kernel", _t(take(f"{p}.mlp.fc2.weight")))
+        _set(tree, f"{q}/fc2/bias", take(f"{p}.mlp.fc2.bias"))
+    return tree, sorted(set(norm) - used)
+
+
+def convert_swin_checkpoint(sd: Dict[str, np.ndarray], *,
+                            depths: tuple) -> Dict[str, Any]:
+    """Import a Swin checkpoint (timm layout: ``layers.{s}.blocks.{b}...``)
+    into the SwinTransformer tree (reference load_pretrained_swin,
+    swin_transformer.py:17-114; rel-pos tables interpolate on window change —
+    here tables must match the configured window)."""
+    tree: Dict[str, Any] = {}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    if "patch_embed.proj.weight" in sd:
+        w = take("patch_embed.proj.weight")
+        _set(tree, "patch_embed/kernel", w.transpose(2, 3, 1, 0))
+        _set(tree, "patch_embed/bias", take("patch_embed.proj.bias"))
+    if "patch_embed.norm.weight" in sd:
+        _set(tree, "patch_norm/scale", take("patch_embed.norm.weight"))
+        _set(tree, "patch_norm/bias", take("patch_embed.norm.bias"))
+    if "norm.weight" in sd:
+        _set(tree, "norm/scale", take("norm.weight"))
+        _set(tree, "norm/bias", take("norm.bias"))
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            q = f"stage_{s}_block_{b}"
+            if f"{p}.norm1.weight" not in sd:
+                continue
+            for ln in ("norm1", "norm2"):
+                _set(tree, f"{q}/{ln}/scale", take(f"{p}.{ln}.weight"))
+                _set(tree, f"{q}/{ln}/bias", take(f"{p}.{ln}.bias"))
+            _set(tree, f"{q}/attn/qkv/kernel", _t(take(f"{p}.attn.qkv.weight")))
+            _set(tree, f"{q}/attn/qkv/bias", take(f"{p}.attn.qkv.bias"))
+            _set(tree, f"{q}/attn/proj/kernel", _t(take(f"{p}.attn.proj.weight")))
+            _set(tree, f"{q}/attn/proj/bias", take(f"{p}.attn.proj.bias"))
+            _set(tree, f"{q}/attn/rel_pos_table",
+                 take(f"{p}.attn.relative_position_bias_table"))
+            used.add(f"{p}.attn.relative_position_index")
+            _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{p}.mlp.fc1.weight")))
+            _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.mlp.fc1.bias"))
+            _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{p}.mlp.fc2.weight")))
+            _set(tree, f"{q}/mlp/fc2/bias", take(f"{p}.mlp.fc2.bias"))
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            _set(tree, f"merge_{s}/reduction/kernel",
+                 _t(take(f"layers.{s}.downsample.reduction.weight")))
+            _set(tree, f"merge_{s}/norm/scale",
+                 take(f"layers.{s}.downsample.norm.weight"))
+            _set(tree, f"merge_{s}/norm/bias",
+                 take(f"layers.{s}.downsample.norm.bias"))
+    unused = sorted(k for k in set(sd) - used
+                    if "attn_mask" not in k and "relative_position_index" not in k
+                    and not k.startswith("head."))
+    return tree, unused
+
+
 def convert_hf_bert_checkpoint(sd: Dict[str, np.ndarray], *,
                                to_layers: Optional[int] = None,
                                fusion_layer: int = 12) -> Dict[str, Any]:
