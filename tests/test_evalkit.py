@@ -74,3 +74,69 @@ def test_caption_eval_shapes():
     out = caption_eval(preds, anns)
     assert set(out) >= {"bleu1", "bleu4", "cider", "n"}
     assert out["n"] == 1
+
+
+def test_rle_decode_uncompressed():
+    from x2vlm_tpu.evalkit.refer import rle_decode
+
+    # 3x3, column-major: 2 zeros, 3 ones, 4 zeros
+    m = rle_decode({"size": [3, 3], "counts": [2, 3, 4]})
+    expect = np.zeros((3, 3), np.uint8)
+    flat = np.zeros(9, np.uint8)
+    flat[2:5] = 1
+    expect = flat.reshape(3, 3).T
+    np.testing.assert_array_equal(m, expect)
+    assert m.sum() == 3
+
+
+def test_rle_roundtrip_compressed():
+    from x2vlm_tpu.evalkit.refer import _decode_rle_string, rle_decode
+
+    def encode(counts):
+        # pycocotools rleToString (delta + 6-bit varint)
+        s = []
+        for i, c in enumerate(counts):
+            x = int(c)
+            if i > 2:
+                x -= int(counts[i - 2])
+            more = True
+            while more:
+                ch = x & 0x1F
+                x >>= 5
+                more = not ((x == 0 and not (ch & 0x10)) or
+                            (x == -1 and (ch & 0x10)))
+                if more:
+                    ch |= 0x20
+                s.append(chr(48 + ch))
+        return "".join(s)
+
+    counts = [7, 4, 12, 2, 5, 10]
+    assert _decode_rle_string(encode(counts)) == counts
+    m1 = rle_decode({"size": [5, 8], "counts": counts})
+    m2 = rle_decode({"size": [5, 8], "counts": encode(counts)})
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_grounding_eval_mask():
+    from x2vlm_tpu.evalkit.refer import grounding_eval_mask, mask_iou
+
+    # 10x10 mask: object occupies rows 2-5, cols 2-5 (column-major counts)
+    gt = np.zeros((10, 10), np.uint8)
+    gt[2:6, 2:6] = 1
+    # build counts column-major
+    flat = gt.T.reshape(-1)
+    counts, cur, val = [], 0, 0
+    for v in flat:
+        if v == val:
+            cur += 1
+        else:
+            counts.append(cur)
+            cur, val = 1, v
+    counts.append(cur)
+    refs = {1: {"split": "val", "rle": {"size": [10, 10], "counts": counts},
+                "width": 10, "height": 10}}
+    good = [{"ref_id": 1, "pred": [0.4, 0.4, 0.4, 0.4]}]  # box [2,2,6,6]
+    bad = [{"ref_id": 1, "pred": [0.9, 0.9, 0.1, 0.1]}]
+    assert grounding_eval_mask(good, refs)["val_acc"] == 100.0
+    assert grounding_eval_mask(bad, refs)["val_acc"] == 0.0
+    assert mask_iou(gt, gt) == 1.0
