@@ -213,6 +213,9 @@ class GoldenXVLM(nn.Module):
         cls.predictions.transform.dense = nn.Linear(tdim, tdim)
         cls.predictions.transform.LayerNorm = nn.LayerNorm(tdim, eps=1e-12)
         cls.predictions.decoder = nn.Linear(tdim, vocab, bias=False)
+        # HF weight tying: decoder shares the word-embedding matrix
+        cls.predictions.decoder.weight = \
+            self.text_encoder.bert.embeddings.word_embeddings.weight
         cls.predictions.bias = nn.Parameter(torch.randn(vocab) * 0.02)
         self.text_encoder.cls = cls
         self.vision_proj = nn.Linear(vdim, embed_dim)

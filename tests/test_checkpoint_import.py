@@ -110,7 +110,7 @@ def test_features_and_heads_parity(parity_setup):
         cross = m.base.get_cross_embeds(img_embeds, img_atts, text_ids=ids,
                                         text_atts=atts, deterministic=True)
         itm = m.base.itm_head(cross[:, 0])
-        mlm = m.base.mlm_head(cross)
+        mlm = m.base.mlm_head(cross, embedding_table=m.base._tied_table())
         import jax.nn
         bbox = jax.nn.sigmoid(m.base.bbox_head(cross[:, 0]).astype(jnp.float32))
         return fi, ft, itm, mlm, bbox

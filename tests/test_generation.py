@@ -176,7 +176,8 @@ def test_cached_decode_matches_full_forward(rng):
             position_ids=jnp.asarray(np.tile(np.arange(4), (B, 1))),
             encoder_hidden_states=img_e, encoder_attention_mask=img_a,
             mode="multi_modal", deterministic=True)
-        return m.base.mlm_head(h[:, -1:, :])[:, 0, :]
+        return m.base.mlm_head(h[:, -1:, :],
+                               embedding_table=m.base._tied_table())[:, 0, :]
 
     ref_logits = model.apply(variables, jnp.asarray(ids), method=full_fn)
 

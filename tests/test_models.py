@@ -229,3 +229,29 @@ def test_itm_local_negative_block(rng):
         for i, (a, b) in enumerate(zip(np.asarray(img_neg), np.asarray(txt_neg))):
             assert a // 2 == i // 2 and a != i
             assert b // 2 == i // 2 and b != i
+
+
+def test_large_model_structure_and_param_count():
+    """X2VLM-large structural check via eval_shape (no compute): the reference
+    headline scale is 593M params (README.md:14). Our large config (BEiT-2
+    large + 24-layer BERT-large with fusion at 18) should land in that range."""
+    from x2vlm_tpu.models import XVLMConfig, XVLMForPretrain
+    from x2vlm_tpu.models.heads import pretrain_init_inputs
+
+    cfg = XVLMConfig.large(image_res=224)
+    model = XVLMForPretrain(cfg, dtype=jnp.bfloat16)
+    batch = pretrain_init_inputs(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, rng=jax.random.PRNGKey(2), ret_bbox_loss=True))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(shapes))
+    # reference README.md:14: X2-VLM-large = 593M; ours: 592.9M
+    assert 585e6 < n_params < 600e6, n_params
+    base = shapes["params"]["base"]
+    assert "layer_17" in base["text_encoder"]
+    assert "layer_18" not in base["text_encoder"]
+    assert "block_23" in base["vision_encoder"]
+    assert base["vision_encoder"]["block_0"]["attn"]["query"]["kernel"].shape \
+        == (1024, 1024)

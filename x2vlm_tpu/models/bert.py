@@ -53,6 +53,9 @@ class BertConfig:
     act: str = "gelu"              # "gelu" (erf; HF parity) | "gelu_fast"
     remat: bool = False            # gradient checkpointing per layer
     embedding_dim: Optional[int] = None  # MLM head bottleneck (CCLM)
+    tie_word_embeddings: bool = True     # MLM decoder shares the embedding
+                                         # matrix (HF BERT default; the
+                                         # reference trains tied)
     is_decoder: bool = False       # causal self-attention (generation stacks)
 
     @classmethod
@@ -61,7 +64,10 @@ class BertConfig:
                    encoder_width=encoder_width, **kw)
 
     @classmethod
-    def bert_large(cls, num_layers=24, fusion_layer=18, encoder_width=1024, **kw):
+    def bert_large(cls, num_layers=18, fusion_layer=12, encoder_width=1024, **kw):
+        # X2-VLM-large text stack: BERT-large width but 12+6 layers
+        # ('bert-large-uncased-12l', reference x2vlm_large_*.yaml — built by
+        # every-other-layer subsampling, xvlm.py:355)
         return cls(hidden_size=1024, num_heads=16, intermediate_size=4096,
                    num_layers=num_layers, fusion_layer=fusion_layer,
                    encoder_width=encoder_width, **kw)
@@ -80,27 +86,39 @@ class BertEmbeddings(nn.Module):
     config: BertConfig
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                        dtype=self.dtype, param_dtype=jnp.float32)
+        self.position_embeddings = nn.Embed(cfg.max_position_embeddings,
+                                            cfg.hidden_size, dtype=self.dtype,
+                                            param_dtype=jnp.float32)
+        self.token_type_embeddings = nn.Embed(cfg.type_vocab_size,
+                                              cfg.hidden_size, dtype=self.dtype,
+                                              param_dtype=jnp.float32)
+        self.ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                               param_dtype=jnp.float32)
+        self.dropout = nn.Dropout(cfg.hidden_dropout)
+
+    @property
+    def table(self):
+        """The (V, C) embedding matrix — shared with the tied MLM decoder."""
+        return self.word_embeddings.embedding
+
     def __call__(self, input_ids, position_ids=None, deterministic: bool = True):
         cfg = self.config
         B, S = input_ids.shape
-        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="word_embeddings")(input_ids)
+        word = self.word_embeddings(input_ids)
         if position_ids is None:
             position_ids = jnp.arange(cfg.position_offset, cfg.position_offset + S)
-        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="position_embeddings")(position_ids)
+        pos = self.position_embeddings(position_ids)
         if pos.ndim == 2:
             pos = pos[None]
-        tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="token_type_embeddings")(
-                           jnp.zeros((1, S), jnp.int32))
+        tok = self.token_type_embeddings(jnp.zeros((1, S), jnp.int32))
         x = word + pos + tok
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="ln")(
-                             x.astype(jnp.float32)).astype(self.dtype)
+        x = self.ln(x.astype(jnp.float32)).astype(self.dtype)
         if cfg.hidden_dropout > 0.0:
-            x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+            x = self.dropout(x, deterministic=deterministic)
         return x
 
 
@@ -254,7 +272,7 @@ class BertMLMHead(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden, masked_pos=None):
+    def __call__(self, hidden, masked_pos=None, embedding_table=None):
         cfg = self.config
         if masked_pos is not None:
             # (B, M) gather before the vocab matmul — the reference's key
@@ -269,6 +287,14 @@ class BertMLMHead(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="transform_ln")(
                              h.astype(jnp.float32)).astype(self.dtype)
-        logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, param_dtype=jnp.float32,
-                          name="decoder")(h)
+        if embedding_table is not None:
+            # tied decoder: logits = h @ E^T + b (HF weight tying; gradients
+            # flow into the shared embedding matrix)
+            bias = self.param("decoder_bias", nn.initializers.zeros,
+                              (cfg.vocab_size,), jnp.float32)
+            logits = h @ embedding_table.astype(self.dtype).T + \
+                bias.astype(self.dtype)
+        else:
+            logits = nn.Dense(cfg.vocab_size, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="decoder")(h)
         return logits.astype(jnp.float32)

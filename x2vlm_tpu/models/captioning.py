@@ -54,7 +54,8 @@ class XVLMForMLMCaptioning(nn.Module):
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
             mode="multi_modal", deterministic=deterministic)
-        logits = base.mlm_head(hidden, masked_pos=batch["masked_pos"])
+        logits = base.mlm_head(hidden, masked_pos=batch["masked_pos"],
+                               embedding_table=base._tied_table())
         labels = jnp.where(batch["masked_weight"] > 0, batch["masked_ids"], -100)
         labels = jnp.where(labels == self.cls_token_id, -100, labels)
         loss = label_smoothing_loss(logits, labels,
@@ -90,7 +91,9 @@ class XVLMForMLMCaptioning(nn.Module):
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
             mode="multi_modal", cache=cache, deterministic=True)
-        logits = self.base.mlm_head(hidden[:, -1:, :])[:, 0, :]
+        logits = self.base.mlm_head(
+            hidden[:, -1:, :],
+            embedding_table=self.base._tied_table())[:, 0, :]
         return logits, new_cache
 
 

@@ -93,7 +93,9 @@ class XVLMForVQA(nn.Module):
             encoder_hidden_states=question_states,
             encoder_attention_mask=question_atts,
             causal=True, deterministic=deterministic)
-        return self.dec_head(h)
+        table = self.text_decoder.embeddings.table \
+            if self.dec_cfg.tie_word_embeddings else None
+        return self.dec_head(h, embedding_table=table)
 
     def __call__(self, batch, rng=None, deterministic=False):
         """Training: batch has image, question_{ids,atts}, answer_{ids,atts}
@@ -225,7 +227,9 @@ def sample_generate(model: "XVLMForVQA", variables, batch, *, max_length: int,
                 tok_, position_ids=index_ + jnp.arange(1),
                 encoder_hidden_states=states, encoder_attention_mask=q_atts,
                 cache=cache_, deterministic=True)
-            return m.dec_head(h[:, -1, :]), new_cache
+            table = m.text_decoder.embeddings.table \
+                if m.dec_cfg.tie_word_embeddings else None
+            return m.dec_head(h[:, -1, :], embedding_table=table), new_cache
 
         return model.apply(v, tok, index, cache, method=fn)
 

@@ -280,12 +280,18 @@ class XVLMBase(nn.Module):
             [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)], 0)
         return cross_entropy(logits, labels)
 
+    def _tied_table(self):
+        if self.config.text.tie_word_embeddings:
+            return self.text_encoder.embeddings.table
+        return None
+
     def get_mlm_loss(self, text_ids_masked, text_atts, image_embeds, image_atts,
                      masked_pos, masked_ids, deterministic: bool = True):
         cross = self.get_cross_embeds(
             image_embeds, image_atts, text_ids=text_ids_masked,
             text_atts=text_atts, deterministic=deterministic)
-        logits = self.mlm_head(cross, masked_pos=masked_pos)
+        logits = self.mlm_head(cross, masked_pos=masked_pos,
+                               embedding_table=self._tied_table())
         return cross_entropy(logits, masked_ids)
 
     def predict_bbox(self, image_embeds, text_embeds, text_atts):

@@ -74,7 +74,8 @@ class XVLMPlusBase(XVLMBase):
         cross = self.get_cross_embeds(
             image_embeds, image_atts, text_ids=text_ids_masked,
             text_atts=text_atts, deterministic=deterministic)
-        logits = self.mlm_head(cross, masked_pos=masked_pos)
+        logits = self.mlm_head(cross, masked_pos=masked_pos,
+                               embedding_table=self._tied_table())
         return cross_entropy(logits, masked_ids)
 
 

@@ -240,6 +240,7 @@ def convert_xvlm_state_dict(
                 _set(tree, "mlm_head/decoder/kernel", _t(take(hp + "decoder.weight")))
                 bias_key = hp + "bias" if hp + "bias" in sd else hp + "decoder.bias"
                 _set(tree, "mlm_head/decoder/bias", take(bias_key))
+                _set(tree, "mlm_head/decoder_bias", take(bias_key))  # tied head
                 used.add(hp + "decoder.bias")
                 used.add(hp + "bias")
 
@@ -253,6 +254,7 @@ def convert_xvlm_state_dict(
         _set(tree, "mlm_head/decoder/kernel", _t(take(hp + "decoder.weight")))
         bias_key = hp + "bias" if hp + "bias" in sd else hp + "decoder.bias"
         _set(tree, "mlm_head/decoder/bias", take(bias_key))
+        _set(tree, "mlm_head/decoder_bias", take(bias_key))  # tied head
         used.add(hp + "decoder.bias")
         used.add(hp + "bias")
 
@@ -337,6 +339,7 @@ def convert_xvlm_state_dict(
                 _set(tree, "dec_head/decoder/kernel", _t(take(hp + "decoder.weight")))
                 bias_key = hp + "bias" if hp + "bias" in sd else hp + "decoder.bias"
                 _set(tree, "dec_head/decoder/bias", take(bias_key))
+                _set(tree, "dec_head/decoder_bias", take(bias_key))  # tied head
                 used.add(hp + "decoder.bias")
                 used.add(hp + "bias")
 
