@@ -246,3 +246,36 @@ class GoldenXVLM(nn.Module):
         return dict(img_embeds=img_embeds, text_embeds=text_embeds, cross=cross,
                     img_feat=img_feat, txt_feat=txt_feat, itm=itm, bbox=bbox,
                     mlm=mlm)
+
+
+class GoldenRoberta(nn.Module):
+    """RoBERTa-style text encoder with the reference naming
+    (text_encoder.roberta.* + lm_head.*): position ids offset by
+    padding_idx+1 = 2 (xroberta.py:1296), single token type."""
+
+    def __init__(self, vocab=60, dim=32, layers=2, heads=2, intermediate=64,
+                 max_pos=66):
+        super().__init__()
+        self.roberta = GoldenBert(vocab, dim, layers, fusion=layers,
+                                  heads=heads, intermediate=intermediate,
+                                  kv_dim=dim, max_pos=max_pos)
+        self.roberta.embeddings.token_type_embeddings = nn.Embedding(1, dim)
+        self.lm_head = nn.Module()
+        self.lm_head.dense = nn.Linear(dim, dim)
+        self.lm_head.layer_norm = nn.LayerNorm(dim, eps=1e-12)
+        self.lm_head.decoder = nn.Linear(dim, vocab, bias=False)
+        self.lm_head.decoder.weight = \
+            self.roberta.embeddings.word_embeddings.weight
+        self.lm_head.bias = nn.Parameter(torch.randn(vocab) * 0.02)
+
+    def forward(self, ids, key_mask):
+        S = ids.shape[1]
+        emb = self.roberta.embeddings
+        pos = torch.arange(2, 2 + S)[None]
+        x = (emb.word_embeddings(ids) + emb.position_embeddings(pos)
+             + emb.token_type_embeddings(torch.zeros_like(ids)))
+        x = emb.LayerNorm(x)
+        for layer in self.roberta.encoder.layer:
+            x = layer(x, key_mask)
+        h = self.lm_head.layer_norm(F.gelu(self.lm_head.dense(x)))
+        return x, self.lm_head.decoder(h) + self.lm_head.bias

@@ -272,3 +272,59 @@ def test_convert_hf_bert_checkpoint_with_expansion():
         text["layer_5"]["mlp"]["fc1"]["kernel"],
         text["layer_3"]["mlp"]["fc1"]["kernel"])
     assert "layer_5" in text and "layer_6" not in text
+
+
+def test_roberta_import_parity():
+    """xroberta schema: .roberta. prefix, lm_head naming, position offset 2."""
+    from x2vlm_tpu.models.bert import BertConfig, BertEncoder, BertMLMHead
+    from tests.golden_torch import GoldenRoberta
+
+    torch.manual_seed(4)
+    golden = GoldenRoberta().eval()
+    sd = {"text_encoder." + k: v.detach().numpy()
+          for k, v in golden.state_dict().items()}
+    tree, unused = convert_xvlm_state_dict(sd, vision_depth=0)
+    assert unused == [], unused
+
+    cfg = BertConfig(vocab_size=60, hidden_size=32, num_layers=2,
+                     fusion_layer=2, num_heads=2, intermediate_size=64,
+                     encoder_width=32, hidden_dropout=0.0, attn_dropout=0.0,
+                     max_position_embeddings=66, type_vocab_size=1,
+                     position_offset=2)
+    enc = BertEncoder(cfg, dtype=jnp.float32)
+    head = BertMLMHead(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 60, (2, 7)).astype(np.int32)
+    atts = np.ones((2, 7), np.int32)
+
+    enc_init = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(atts), mode="text")
+    import flax
+
+    p = flax.core.unfreeze(enc_init)["params"]
+
+    def overlay(dst, src):
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                overlay(v, src[k])
+            else:
+                dst[k] = jnp.asarray(src[k])
+
+    overlay(p, tree["text_encoder"])
+    out = enc.apply({"params": p}, jnp.asarray(ids), jnp.asarray(atts),
+                    mode="text")
+
+    table = p["embeddings"]["word_embeddings"]["embedding"]
+    h_init = head.init(jax.random.PRNGKey(0), out, embedding_table=table)
+    hp = flax.core.unfreeze(h_init)["params"]
+    overlay(hp, tree["mlm_head"])
+    logits = head.apply({"params": hp}, out, embedding_table=table)
+
+    with torch.no_grad():
+        ref_hidden, ref_logits = golden(
+            torch.from_numpy(ids.astype(np.int64)),
+            torch.from_numpy(atts.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(out), ref_hidden.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               rtol=1e-4, atol=2e-4)

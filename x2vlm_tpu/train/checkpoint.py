@@ -147,9 +147,13 @@ def convert_xvlm_state_dict(
         _set(tree, f"vision_encoder/rel_pos_table_{i}", table)
         used.add(f"{p}.attn.relative_position_index")  # static buffer
 
-    # ---- text encoder (xbert fork; roberta shares the schema minus '.bert') ----
-    tprefix = "text_encoder.bert." if any(
-        k.startswith("text_encoder.bert.") for k in sd) else "text_encoder."
+    # ---- text encoder (xbert fork; xroberta uses '.roberta.') ----
+    if any(k.startswith("text_encoder.bert.") for k in sd):
+        tprefix = "text_encoder.bert."
+    elif any(k.startswith("text_encoder.roberta.") for k in sd):
+        tprefix = "text_encoder.roberta."
+    else:
+        tprefix = "text_encoder."
 
     def tkey(suffix):
         return tprefix + suffix
