@@ -18,3 +18,4 @@ from x2vlm_tpu.data.pretrain import (
     ImageTextStream, TextStream, RegionTextStream, VideoTextStream,
     region_collate, sample_frame_ids,
 )
+from x2vlm_tpu.data.factory import create_dataset

@@ -1,0 +1,160 @@
+"""Dataset factory (reference dataset/__init__.py:26-480 create_dataset):
+one entry point mapping task names to dataset construction from the YAML
+config. Returns (train_dataset, eval_dataset) — either may be None.
+
+Tasks: pretrain streams are built by x2vlm_tpu.run (they need host/worker
+wiring); this factory covers the map-style fine-tune datasets:
+  retrieval | vqa | nlvr | grounding | captioning | video_qa |
+  video_retrieval | xvnli | marvl | xflickrco | wit
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from typing import Optional, Tuple
+
+from x2vlm_tpu.data import transforms as T
+from x2vlm_tpu.data.tokenization import TextPreprocessor, build_tokenizer
+
+__all__ = ["create_dataset"]
+
+
+def create_dataset(task: str, config, evaluate: bool = False,
+                   tokenizer=None, rng: Optional[random.Random] = None
+                   ) -> Tuple[Optional[object], Optional[object]]:
+    tokenizer = tokenizer or build_tokenizer(config["text_encoder"])
+    res = config["image_res"]
+    pre = TextPreprocessor(tokenizer, max_tokens=config.get("max_tokens", 40),
+                           max_words=config.get("max_words",
+                                                config.get("max_tokens", 40)))
+    train_tf = T.train_transform(res, rng=rng)
+    test_tf = T.test_transform(res)
+    rng = rng or random
+
+    def train_files():
+        return config["train_file"]
+
+    def test_files():
+        return config["test_file"]
+
+    if task in ("retrieval", "itr_coco", "itr_flickr"):
+        from x2vlm_tpu.data.retrieval import (
+            RetrievalEvalDataset, RetrievalTrainDataset,
+        )
+
+        ev = RetrievalEvalDataset(test_files(), test_tf, config["image_root"], pre)
+        if evaluate:
+            return None, ev
+        return RetrievalTrainDataset(train_files(), train_tf,
+                                     config["image_root"], pre, rng=rng), ev
+
+    if task in ("vqa", "xgqa"):
+        from x2vlm_tpu.data.finetune import VQAEvalDataset, VQATrainDataset
+
+        root = config.get("vqa_root", config.get("image_root"))
+        a_max = config.get("answer_max_tokens", 10)
+        ev = VQAEvalDataset(test_files(), test_tf, root, pre, tokenizer,
+                            answer_list_file=config.get("answer_list"),
+                            answer_max_tokens=a_max)
+        if evaluate:
+            return None, ev
+        return VQATrainDataset(train_files(), train_tf, root, pre, tokenizer,
+                               answer_max_tokens=a_max, rng=rng), ev
+
+    if task == "nlvr":
+        from x2vlm_tpu.data.finetune import NLVRDataset
+
+        ev = NLVRDataset(test_files(), test_tf, config["image_root"], pre)
+        if evaluate:
+            return None, ev
+        return NLVRDataset(train_files(), train_tf, config["image_root"], pre), ev
+
+    if task in ("grounding", "refcoco_bbox"):
+        from x2vlm_tpu.data.finetune import (
+            GroundingEvalDataset, GroundingTrainDataset,
+        )
+
+        ev = GroundingEvalDataset(test_files(), test_tf, config["image_root"], pre)
+        if evaluate:
+            return None, ev
+        tr = GroundingTrainDataset(
+            train_files(), T.box_transform(rng=rng), config["image_root"], pre,
+            image_res=res, careful_hflip=config.get("careful_hflip", True),
+            rng=rng)
+        return tr, ev
+
+    if task in ("captioning", "coco_captioning_mlm"):
+        from x2vlm_tpu.data.finetune import (
+            CaptioningEvalDataset, CaptioningTrainDataset,
+        )
+
+        ev = CaptioningEvalDataset(test_files(), test_tf, config["image_root"])
+        if evaluate:
+            return None, ev
+        tr = CaptioningTrainDataset(
+            train_files(), T.train_transform(res, with_hflip=False, rng=rng),
+            config["image_root"], tokenizer, prompt=config.get("prompt", ""),
+            max_tokens=config.get("max_tokens", 25),
+            max_masks=config.get("max_masks", 12),
+            mask_prob=config.get("mask_prob", 0.5),
+            fg_free=config.get("fg_free", False), rng=rng)
+        return tr, ev
+
+    if task in ("video_qa", "vqa_msrvtt", "vqa_msvd"):
+        from x2vlm_tpu.data.video import VideoQADataset
+
+        with open(config["answer_list"]) as f:
+            answers = json.load(f)
+        kw = dict(video_root=config["video_root"], text_pre=pre,
+                  answer_list=answers, frame_len=config.get("frame_len", 5))
+        ev = VideoQADataset(test_files(), test_tf, training=False, **kw)
+        if evaluate:
+            return None, ev
+        return VideoQADataset(train_files(), train_tf, **kw), ev
+
+    if task in ("video_retrieval", "itr_coco_msrvtt"):
+        from x2vlm_tpu.data.video import VideoRetrievalDataset
+
+        ev = VideoRetrievalDataset(test_files(), test_tf,
+                                   config["video_root"], pre,
+                                   frame_len=config.get("frame_len", 5))
+        return None, ev
+
+    if task == "xvnli":
+        from x2vlm_tpu.data.iglue import XVNLIDataset
+
+        ev = XVNLIDataset(test_files(), test_tf, config["image_root"], pre)
+        if evaluate:
+            return None, ev
+        return XVNLIDataset(train_files(), train_tf, config["image_root"], pre), ev
+
+    if task == "marvl":
+        from x2vlm_tpu.data.iglue import MARVLDataset
+
+        ev = MARVLDataset(test_files(), test_tf, config["image_root"], pre)
+        if evaluate:
+            return None, ev
+        from x2vlm_tpu.data.finetune import NLVRDataset
+
+        # MARVL trains on English NLVR2 and zero-shots multilingual test
+        return NLVRDataset(train_files(), train_tf, config["image_root"], pre), ev
+
+    if task == "xflickrco":
+        from x2vlm_tpu.data.iglue import XFlickrCODataset
+
+        ev = XFlickrCODataset(test_files(), test_tf, config["image_root"], pre)
+        if evaluate:
+            return None, ev
+        return XFlickrCODataset(train_files(), train_tf, config["image_root"],
+                                pre, rng=rng), ev
+
+    if task == "wit":
+        from x2vlm_tpu.data.iglue import WITRetrievalDataset
+
+        ev = WITRetrievalDataset(test_files(), test_tf, pre)
+        if evaluate:
+            return None, ev
+        return WITRetrievalDataset(train_files(), train_tf, pre), ev
+
+    raise ValueError(f"unknown dataset task {task!r}")
