@@ -169,3 +169,10 @@ def test_iter_batches():
     out = list(iter_batches(samples, 3))
     assert len(out) == 2  # drops ragged tail
     assert out[0]["x"].shape == (3, 2)
+
+
+def test_pre_tokenized_preprocessor(tokenizer):
+    pre = TextPreprocessor(tokenizer, max_tokens=8, pre_tokenized=True)
+    ids, atts = pre("the quick jump ##s")
+    toks = tokenizer.convert_ids_to_tokens([int(i) for i in ids[: int(atts.sum())]])
+    assert toks == ["[CLS]", "the", "quick", "jump", "##s", "[SEP]"]

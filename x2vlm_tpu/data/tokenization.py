@@ -69,9 +69,11 @@ class TextPreprocessor:
         skipgram_size: int = 3,
         add_eos: bool = True,
         use_roberta: bool = False,
+        pre_tokenized: bool = False,
         rng=None,
     ):
         self.tokenizer = tokenizer
+        self.pre_tokenized = pre_tokenized  # reference `tokenized: true` knob
         self.max_tokens = max_tokens
         self.max_words = max_words or max_tokens
         self.max_masks = max_masks
@@ -85,6 +87,13 @@ class TextPreprocessor:
                 mask_whole_word, use_roberta=use_roberta, rng=rng)
 
     def tokenize(self, text: str) -> List[str]:
+        if self.pre_tokenized:
+            # data already WordPiece-tokenized (space-joined pieces)
+            pieces = text.split() if isinstance(text, str) else list(text)
+            tokens = [self.cls_token] + pieces[: self.max_tokens - 1]
+            if self.add_eos:
+                tokens = tokens[: self.max_tokens - 1] + [self.eos_token]
+            return tokens
         text = pre_caption(text, self.max_words)
         tokens = [self.cls_token] + self.tokenizer.tokenize(text)[: self.max_tokens - 1]
         if self.add_eos:
