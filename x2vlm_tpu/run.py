@@ -53,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--bs", default=-1, type=int, help="override batch_size")
     p.add_argument("--epoch", default=-1, type=int, help="override epochs")
     p.add_argument("--fsdp", default=1, type=int)
+    p.add_argument("--wait", default=0, type=int,
+                   help="minutes to sleep before starting (reference run.py:476)")
     return p.parse_args(argv)
 
 
@@ -549,6 +551,9 @@ def run_classification(args, cfg, mesh):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.wait:
+        print(f"### waiting {args.wait} minutes", flush=True)
+        time.sleep(args.wait * 60)
     cfg, mesh = setup(args)
     t0 = time.time()
     runners = {
