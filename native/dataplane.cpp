@@ -178,10 +178,25 @@ struct ResampleTaps {
   int max_taps;
 };
 
-void build_taps(int src, int dst, ResampleTaps& t) {
+// filter: 0 = triangle (PIL BILINEAR), 1 = Catmull-Rom-style cubic a=-0.5
+// (PIL BICUBIC). Both antialias by scaling support with the downscale factor.
+static double filter_weight(double x, int filter) {
+  if (filter == 0) {
+    if (x < 0) x = -x;
+    return x < 1.0 ? 1.0 - x : 0.0;
+  }
+  const double a = -0.5;
+  if (x < 0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+void build_taps(int src, int dst, ResampleTaps& t, int filter) {
   const double scale = (double)src / dst;
   const double filterscale = scale < 1.0 ? 1.0 : scale;
-  const double support = 1.0 * filterscale;  // bilinear support = 1
+  const double fsupport = filter == 0 ? 1.0 : 2.0;
+  const double support = fsupport * filterscale;
   t.max_taps = (int)ceil(support) * 2 + 1;
   t.lo.resize(dst);
   t.count.resize(dst);
@@ -196,8 +211,7 @@ void build_taps(int src, int dst, ResampleTaps& t) {
     float* wrow = &t.weights[(size_t)i * t.max_taps];
     for (int j = lo; j < hi; ++j) {
       double x = (j - center + 0.5) / filterscale;
-      double wv = x < 0 ? 1.0 + x : 1.0 - x;  // triangle
-      if (wv < 0) wv = 0;
+      double wv = filter_weight(x, filter);
       wrow[j - lo] = (float)wv;
       total += wv;
     }
@@ -210,10 +224,11 @@ void build_taps(int src, int dst, ResampleTaps& t) {
 }
 
 void resize_normalize(const std::vector<uint8_t>& pixels, int w, int h, int res,
-                      const float* mean, const float* stdev, float* out) {
+                      const float* mean, const float* stdev, float* out,
+                      int filter) {
   ResampleTaps tx, ty;
-  build_taps(w, res, tx);
-  build_taps(h, res, ty);
+  build_taps(w, res, tx, filter);
+  build_taps(h, res, ty, filter);
 
   // horizontal pass: (h, w, 3) u8 → (h, res, 3) f32
   std::vector<float> tmp((size_t)h * res * 3);
@@ -279,7 +294,8 @@ int64_t dp_b64_decode(const char* in, int64_t len, uint8_t* out) {
 // out: (n, res, res, 3) float32. status: n bytes, 1 = ok, 0 = broken.
 int dp_decode_batch_raw(const uint8_t* blob, const int64_t* offsets, int n,
                         int res, const float* mean, const float* stdev,
-                        float* out, uint8_t* status, int num_threads) {
+                        float* out, uint8_t* status, int num_threads,
+                        int filter) {
   std::atomic<int> next(0);
   auto worker = [&]() {
     std::vector<uint8_t> pixels;
@@ -291,7 +307,7 @@ int dp_decode_batch_raw(const uint8_t* blob, const int64_t* offsets, int n,
       int w = 0, h = 0;
       float* dst = out + (size_t)i * res * res * 3;
       if (decode_any(data, len, pixels, w, h) && w > 0 && h > 0) {
-        resize_normalize(pixels, w, h, res, mean, stdev, dst);
+        resize_normalize(pixels, w, h, res, mean, stdev, dst, filter);
         status[i] = 1;
       } else {
         memset(dst, 0, sizeof(float) * (size_t)res * res * 3);
@@ -312,7 +328,8 @@ int dp_decode_batch_raw(const uint8_t* blob, const int64_t* offsets, int n,
 // base64 inputs: concatenated chars with offsets (n+1 entries).
 int dp_decode_batch_b64(const char* blob, const int64_t* offsets, int n,
                         int res, const float* mean, const float* stdev,
-                        float* out, uint8_t* status, int num_threads) {
+                        float* out, uint8_t* status, int num_threads,
+                        int filter) {
   std::atomic<int> next(0);
   auto worker = [&]() {
     std::vector<uint8_t> raw;
@@ -328,7 +345,7 @@ int dp_decode_batch_b64(const char* blob, const int64_t* offsets, int n,
       int w = 0, h = 0;
       if (rlen > 0 && decode_any(raw.data(), (size_t)rlen, pixels, w, h) &&
           w > 0 && h > 0) {
-        resize_normalize(pixels, w, h, res, mean, stdev, dst);
+        resize_normalize(pixels, w, h, res, mean, stdev, dst, filter);
         status[i] = 1;
       } else {
         memset(dst, 0, sizeof(float) * (size_t)res * res * 3);

@@ -80,3 +80,20 @@ def test_throughput_beats_pil(rng):
             _pil_reference(raw, res)
     t_pil = (time.perf_counter() - t0) / 3
     assert t_native < t_pil, (t_native, t_pil)
+
+
+def test_bicubic_matches_pil_bicubic(rng):
+    res = 64
+    dec = NativeDecoder(res, num_threads=1, filter="bicubic")
+    img = Image.fromarray(rng.integers(0, 255, (96, 128, 3), np.uint8))
+    raw = _encode(img, "PNG")  # lossless → resize is the only difference
+    out, ok = dec.decode_raw([raw])
+    assert ok.all()
+    ref_img = Image.open(io.BytesIO(raw)).convert("RGB").resize(
+        (res, res), Image.BICUBIC)
+    ref = (np.asarray(ref_img, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    diff = np.abs(out[0] - ref)
+    # PIL quantizes to uint8 between the two passes; we stay float — small diff
+    assert np.median(diff) < 0.05, np.median(diff)
+    corr = np.corrcoef(out[0].ravel(), ref.ravel())[0, 1]
+    assert corr > 0.995, corr

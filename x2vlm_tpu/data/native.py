@@ -56,7 +56,7 @@ def load_dataplane() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
     lib.dp_b64_decode.restype = ctypes.c_int64
     lib.dp_b64_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
@@ -73,12 +73,15 @@ class NativeDecoder:
     """Batch decoder: list of base64 strings (or raw bytes) →
     (N, res, res, 3) float32 normalized NHWC + per-item ok mask."""
 
+    FILTERS = {"bilinear": 0, "bicubic": 1}
+
     def __init__(self, image_res: int, num_threads: int = 8,
-                 mean=CLIP_MEAN, std=CLIP_STD):
+                 mean=CLIP_MEAN, std=CLIP_STD, filter: str = "bicubic"):
         self.lib = load_dataplane()
         if self.lib is None:
             raise RuntimeError("native dataplane unavailable (g++/libjpeg?)")
         self.res = image_res
+        self.filter = self.FILTERS[filter]
         self.num_threads = num_threads
         self.mean = np.ascontiguousarray(mean, np.float32)
         self.std = np.ascontiguousarray(std, np.float32)
@@ -93,7 +96,7 @@ class NativeDecoder:
             self.std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            self.num_threads,
+            self.num_threads, self.filter,
         )
         return out, status.astype(bool)
 
