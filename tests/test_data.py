@@ -176,3 +176,21 @@ def test_pre_tokenized_preprocessor(tokenizer):
     ids, atts = pre("the quick jump ##s")
     toks = tokenizer.convert_ids_to_tokens([int(i) for i in ids[: int(atts.sum())]])
     assert toks == ["[CLS]", "the", "quick", "jump", "##s", "[SEP]"]
+
+
+def test_retrieval_eval_native_decode(tmp_path, tokenizer):
+    from x2vlm_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native dataplane not built")
+    ann_file, img_dir = _make_retrieval_fixture(tmp_path)
+    pre = TextPreprocessor(tokenizer, max_tokens=10)
+    ev = RetrievalEvalDataset(ann_file, T.test_transform(32), img_dir, pre,
+                              use_native_decode=True, image_res=32)
+    assert ev.native is not None
+    native = ev.image_batch([0, 1])
+    ev.native = None
+    pil = ev.image_batch([0, 1])
+    assert native.shape == pil.shape == (2, 32, 32, 3)
+    corr = np.corrcoef(native.ravel(), pil.ravel())[0, 1]
+    assert corr > 0.99, corr

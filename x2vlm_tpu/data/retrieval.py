@@ -73,11 +73,22 @@ class RetrievalTrainDataset:
 
 class RetrievalEvalDataset:
     def __init__(self, ann_file, transform: Callable, image_root: str,
-                 text_preprocessor: TextPreprocessor):
+                 text_preprocessor: TextPreprocessor,
+                 use_native_decode: bool = False, image_res: int = 0):
         self.ann = _load_annotations(ann_file)
         self.transform = transform
         self.image_root = image_root
         self.text_pre = text_preprocessor
+        # C++ batch decode for the eval encode path (test transform = bicubic
+        # resize + normalize, exactly what the native plane implements)
+        self.native = None
+        if use_native_decode:
+            from x2vlm_tpu.data.native import NativeDecoder, native_available
+
+            if image_res <= 0:
+                raise ValueError("use_native_decode requires image_res")
+            if native_available():
+                self.native = NativeDecoder(image_res, filter="bicubic")
 
         self.texts: List[str] = []
         self.images: List[str] = []
@@ -101,6 +112,15 @@ class RetrievalEvalDataset:
         return len(self.texts)
 
     def image_batch(self, indices) -> np.ndarray:
+        if self.native is not None:
+            raws = []
+            for i in indices:
+                with open(os.path.join(self.image_root, self.images[i]), "rb") as f:
+                    raws.append(f.read())
+            out, ok = self.native.decode_raw(raws)
+            if ok.all():
+                return out
+            # fall through to PIL for any broken item
         out = []
         for i in indices:
             img = Image.open(os.path.join(self.image_root, self.images[i])).convert("RGB")
