@@ -228,6 +228,15 @@ def run_pretrain(args, cfg, mesh):
     streams = {"image": image_batches()}
     rcfg = cfg.get("regions")
     if rcfg and cfg.get("train_file_regions"):
+        # every leading batch dim must divide the device count for sharding;
+        # round max_images up (reference uses 50 per GPU — here the host batch
+        # spans all local chips)
+        n_dev = jax.device_count()
+        rcfg = dict(rcfg)
+        rcfg["max_images"] = -(-rcfg.get("max_images", 50) // n_dev) * n_dev
+        assert rcfg.get("batch_size", 128) % n_dev == 0, \
+            "regions.batch_size must divide the device count"
+
         def region_batches():
             reader = DistLineReader(cfg["train_file_regions"], rank=host,
                                     world_size=nhosts)
