@@ -254,6 +254,22 @@ def run_pretrain(args, cfg, mesh):
                                      rcfg.get("max_images", 50))
 
         streams["region"] = region_batches()
+    vcfg = cfg.get("videos")
+    if vcfg and cfg.get("train_file_videos"):
+        from x2vlm_tpu.data.pretrain import VideoTextStream
+
+        def video_batches():
+            reader = DistLineReader(cfg["train_file_videos"], rank=host,
+                                    world_size=nhosts)
+            stream = VideoTextStream(
+                reader, pre, T.pretrain_transform(cfg["image_res"]),
+                frame_len=cfg.get("frame_len", 3),
+                frames_key=vcfg.get("frames_key", "frames"),
+                caption_key=vcfg.get("caption_key", "caption"),
+                is_image_rpath=vcfg.get("is_image_rpath", False))
+            yield from iter_batches(iter(stream), vcfg.get("batch_size", 40))
+
+        streams["video"] = video_batches()
     tcfg = cfg.get("texts")
     if tcfg and cfg.get("train_file_text"):
         def text_batches():
@@ -283,8 +299,9 @@ def run_pretrain(args, cfg, mesh):
 
         ps = PretrainStreams(
             image=streams["image"], region=streams.get("region"),
-            text=streams.get("text"),
+            video=streams.get("video"), text=streams.get("text"),
             region_perc=(cfg.get("regions") or {}).get("iter_perc", 1.0),
+            video_perc=(cfg.get("videos") or {}).get("iter_perc", 1.0),
             text_perc=(cfg.get("texts") or {}).get("iter_perc", 1.0))
 
         def checkpoint_fn(state, step):
