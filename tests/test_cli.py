@@ -220,3 +220,40 @@ def test_cli_vqa_and_captioning(tmp_path):
     rec = json.loads((tmp_path / "out_cap" / "log.txt").read_text()
                      .strip().splitlines()[-1])
     assert "eval_cider" in rec
+
+
+@pytest.mark.slow
+def test_cli_retrieval_cclm_plus_base(tmp_path):
+    """model_type: cclm routes every head onto the Plus base (XLM-R-style
+    text tower + standalone cross encoder) through the same CLI."""
+    from x2vlm_tpu.run import main
+
+    tok_dir = _write_vocab_dir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    ann = []
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+        ann.append({"image": f"im{i}.png", "image_id": i,
+                    "caption": [f"the dog {i}"]})
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({
+        "model_type": "cclm",
+        "num_cross_layers": 2,
+        "text_num_hidden_layers": 2,
+        "text_fusion_start_at": 2,   # text tower fully uni-modal
+        "train_file": [str(tmp_path / "ann.json")],
+        "test_file": [str(tmp_path / "ann.json")],
+        "image_root": str(img_dir),
+        "k_test": 3,
+    })
+    (tmp_path / "cclm.yaml").write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out_cclm"
+    main(["--task", "retrieval", "--config", str(tmp_path / "cclm.yaml"),
+          "--output_dir", str(out_dir), "--seed", "0"])
+    rec = json.loads((out_dir / "log.txt").read_text().strip().splitlines()[-1])
+    assert "eval_r_mean" in rec
