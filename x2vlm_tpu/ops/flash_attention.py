@@ -136,6 +136,18 @@ def _fwd_kernel(has_bias: bool, causal: bool, block_q: int, block_kv: int,
     lse_ref[0, 0, :, :] = m + jnp.log(l_safe)
 
 
+def _pick_blocks(Sq, Skv, block_q, block_kv):
+    """Measured on v5e (S=577 biased): whole-sequence blocks beat small tiles
+    until VMEM pressure — 640/640 ran 2.70 ms vs 4.04 ms at 256/512 and
+    3.41 ms for the XLA path. Heuristic: single-block up to 768 queries /
+    1024 keys, 512 tiles beyond."""
+    if block_q is None:
+        block_q = -(-Sq // 128) * 128 if Sq <= 768 else 512
+    if block_kv is None:
+        block_kv = -(-Skv // 128) * 128 if Skv <= 1024 else 512
+    return block_q, block_kv
+
+
 def _prep(q, k, v, bias, key_mask, scale, block_q, block_kv):
     """Shared forward/backward operand preparation (transpose + pad)."""
     B, Sq, H, D = q.shape
@@ -143,6 +155,7 @@ def _prep(q, k, v, bias, key_mask, scale, block_q, block_kv):
     qt = jnp.swapaxes(q, 1, 2) * jnp.asarray(scale, q.dtype)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    block_q, block_kv = _pick_blocks(Sq, Skv, block_q, block_kv)
     block_q = min(block_q, max(Sq, 8))
     block_kv = min(block_kv, max(Skv, 128))
     qt = _pad_to(qt, 2, block_q)
@@ -169,7 +182,7 @@ def _bias_spec(bias, block_q, Skv_p):
 
 
 def _flash_forward(q, k, v, bias, key_mask, causal, scale,
-                   block_q: int = 256, block_kv: int = 512):
+                   block_q=None, block_kv=None):
     B, Sq, H, D = q.shape
     out_dtype = q.dtype
     qt, kt, vt, krow, bias_p, block_q, block_kv = _prep(
@@ -345,7 +358,7 @@ def _dbias_kernel(causal: bool, batch_broadcast: bool, block_q: int,
         dbias_ref[0, 0, :, :] = ds
 
 
-def _flash_backward(res, g, causal, scale, block_q=256, block_kv=512):
+def _flash_backward(res, g, causal, scale, block_q=None, block_kv=None):
     q, k, v, bias, key_mask, lse, o = res
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
