@@ -71,7 +71,46 @@ def bench_pretrain_step():
     }))
 
 
+def supervised_main():
+    """The shared TPU tunnel intermittently hangs for minutes at a time (other
+    tenants); a hung measurement would leave the driver with no number at all.
+    Run the actual benchmark in a child process with a timeout and retry until
+    a window opens; forward its one JSON line."""
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get("X2VLM_BENCH_BUDGET_S", 3000))
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        budget = min(600, max(60, int(deadline - time.time())))
+        env = dict(os.environ, X2VLM_BENCH_CHILD="1")
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=budget, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {attempt}: timed out (tunnel busy); retrying",
+                  file=sys.stderr)
+            continue
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        print(f"# attempt {attempt}: exit {res.returncode}; retrying",
+              file=sys.stderr)
+        time.sleep(30)
+    print(json.dumps({
+        "metric": "retrieval_encode_pairs_per_sec_per_chip",
+        "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
+        "error": "TPU tunnel unavailable for the whole bench budget",
+    }))
+    return 1
+
+
 def main():
+    if os.environ.get("X2VLM_BENCH_CHILD") != "1":
+        return supervised_main()
     if os.environ.get("X2VLM_BENCH") == "pretrain":
         return bench_pretrain_step()
     from x2vlm_tpu.models import XVLMConfig, XVLMForRetrieval
