@@ -208,3 +208,24 @@ def test_swin_checkpoint_import_covers_tree(rng):
     tree, unused = convert_swin_checkpoint(sd, depths=(1, 1))
     assert unused == [], unused
     assert _keys(tree) == _keys(init)
+
+    # window change: rel-pos tables interpolate onto the (2w-1)² lattice
+    # (reference swin_transformer.py:61-77,698 — 224px/window-7 checkpoints
+    # fine-tune at 384px/window-12); other params import unchanged, and the
+    # resized model runs a forward pass with the imported tree
+    cfg8 = SwinConfig(image_res=64, patch_size=4, embed_dim=16,
+                      depths=(1, 1), num_heads=(2, 4), window_size=8,
+                      drop_path_rate=0.0)
+    model8 = SwinTransformer(cfg8, dtype=jnp.float32)
+    x8 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    init8 = model8.init(jax.random.PRNGKey(0), x8)["params"]
+    tree8, unused8 = convert_swin_checkpoint(sd, depths=(1, 1), dst_window=8)
+    assert unused8 == []
+    assert _keys(tree8) == _keys(init8)
+    t8 = tree8["stage_0_block_0"]["attn"]["rel_pos_table"]
+    assert t8.shape == ((2 * 8 - 1) ** 2, 2)
+    # interpolation preserves the bias range (no blow-up from cubic overshoot)
+    src_table = sd["layers.0.blocks.0.attn.relative_position_bias_table"]
+    assert np.abs(t8).max() <= np.abs(src_table).max() * 1.5
+    out = model8.apply({"params": tree8}, x8)
+    assert np.isfinite(np.asarray(out)).all()

@@ -72,8 +72,49 @@ def test_caption_eval_shapes():
     preds = [{"image_id": 1, "caption": "A dog runs"}]
     anns = {1: ["a dog runs", "dog running fast"]}
     out = caption_eval(preds, anns)
-    assert set(out) >= {"bleu1", "bleu4", "cider", "n"}
+    assert set(out) >= {"bleu1", "bleu4", "cider", "meteor", "rouge_l", "n"}
     assert out["n"] == 1
+
+
+def test_porter_stem_canonical():
+    # spot checks against the canonical Porter voc/output pairs
+    from x2vlm_tpu.evalkit import porter_stem
+
+    for word, want in [("caresses", "caress"), ("ponies", "poni"),
+                       ("motoring", "motor"), ("hopping", "hop"),
+                       ("relational", "relat"), ("electriciti", "electr"),
+                       ("adjustable", "adjust"), ("formative", "form"),
+                       ("sensibiliti", "sensibl"), ("controll", "control"),
+                       ("rate", "rate"), ("cease", "ceas")]:
+        assert porter_stem(word) == want, word
+
+
+def test_rouge_l_pycocoevalcap_formula():
+    from x2vlm_tpu.evalkit import rouge_l
+
+    # P = 2/2, R = 2/6, beta=1.2 → F = (1+1.44)·P·R / (R + 1.44·P)
+    got = rouge_l(["the cat"], [["the cat sat on the mat"]])
+    p, r, b2 = 1.0, 2 / 6, 1.2 ** 2
+    assert got == pytest.approx((1 + b2) * p * r / (r + b2 * p))
+    assert rouge_l(["a b c"], [["a b c"]]) == pytest.approx(1.0)
+    # max over references
+    assert rouge_l(["x y"], [["q q q", "x y"]]) == pytest.approx(1.0)
+
+
+def test_meteor_alignment_and_penalty():
+    from x2vlm_tpu.evalkit import meteor
+
+    assert meteor(["the cat sat on the mat"],
+                  [["the cat sat on the mat"]]) == pytest.approx(1.0)
+    # scrambled word order: same unigram matches, fragmentation penalty bites
+    ordered = meteor(["the cat sat"], [["the cat sat"]])
+    scrambled = meteor(["sat the cat"], [["the cat sat"]])
+    assert scrambled < ordered
+    # stem stage matches morphological variants ('runs' ~ 'running')
+    stemmed = meteor(["a dog runs"], [["a dog running"]])
+    unrelated = meteor(["a dog runs"], [["a dog barked"]])
+    assert stemmed > unrelated > 0.0
+    assert meteor(["x y z"], [["p q r"]]) == 0.0
 
 
 def test_rle_decode_uncompressed():

@@ -1,11 +1,14 @@
 """Dataset factory (reference dataset/__init__.py:26-480 create_dataset):
 one entry point mapping task names to dataset construction from the YAML
-config. Returns (train_dataset, eval_dataset) — either may be None.
+config. Returns (train_dataset, eval_dataset); either may be None, and
+eval_dataset is a {language: dataset} dict for the multilingual tasks whose
+``test_file`` is a dict (reference xre/marvl/xgqa/xvnli branches,
+dataset/__init__.py:218-330).
 
-Tasks: pretrain streams are built by x2vlm_tpu.run (they need host/worker
-wiring); this factory covers the map-style fine-tune datasets:
-  retrieval | vqa | nlvr | grounding | captioning | video_qa |
-  video_retrieval | xvnli | marvl | xflickrco | wit
+Pretrain streams are built by x2vlm_tpu.run (they need host/worker wiring);
+this factory covers the map-style fine-tune datasets:
+  retrieval | xretrieval | vqa | xgqa | nlvr | marvl | grounding |
+  captioning | video_qa | video_retrieval | xvnli | xflickrco | wit
 """
 
 from __future__ import annotations
@@ -18,6 +21,14 @@ from x2vlm_tpu.data import transforms as T
 from x2vlm_tpu.data.tokenization import TextPreprocessor, build_tokenizer
 
 __all__ = ["create_dataset"]
+
+
+def _per_split(files, build):
+    """Reference multilingual eval: test_file may be {lang: path} →
+    {lang: dataset} (dataset/__init__.py:221-227,315-330)."""
+    if isinstance(files, dict):
+        return {k: build(v) for k, v in files.items()}
+    return build(files)
 
 
 def create_dataset(task: str, config, evaluate: bool = False,
@@ -38,12 +49,13 @@ def create_dataset(task: str, config, evaluate: bool = False,
     def test_files():
         return config["test_file"]
 
-    if task in ("retrieval", "itr_coco", "itr_flickr"):
+    if task in ("retrieval", "xretrieval", "xre", "itr_coco", "itr_flickr"):
         from x2vlm_tpu.data.retrieval import (
             RetrievalEvalDataset, RetrievalTrainDataset,
         )
 
-        ev = RetrievalEvalDataset(test_files(), test_tf, config["image_root"], pre)
+        ev = _per_split(test_files(), lambda f: RetrievalEvalDataset(
+            f, test_tf, config["image_root"], pre))
         if evaluate:
             return None, ev
         return RetrievalTrainDataset(train_files(), train_tf,
@@ -54,9 +66,19 @@ def create_dataset(task: str, config, evaluate: bool = False,
 
         root = config.get("vqa_root", config.get("image_root"))
         a_max = config.get("answer_max_tokens", 10)
-        ev = VQAEvalDataset(test_files(), test_tf, root, pre, tokenizer,
-                            answer_list_file=config.get("answer_list"),
-                            answer_max_tokens=a_max)
+
+        def build_eval(f):
+            # xgqa test entries may be [path, answer_list] pairs
+            # (reference dataset/__init__.py:296-299)
+            ans = config.get("answer_list")
+            if isinstance(f, (list, tuple)) and len(f) == 2 and \
+                    isinstance(f[1], str) and f[1].endswith(".json"):
+                f, ans = f[0], f[1]
+            return VQAEvalDataset(f, test_tf, root, pre, tokenizer,
+                                  answer_list_file=ans,
+                                  answer_max_tokens=a_max)
+
+        ev = _per_split(test_files(), build_eval)
         if evaluate:
             return None, ev
         return VQATrainDataset(train_files(), train_tf, root, pre, tokenizer,
@@ -65,7 +87,30 @@ def create_dataset(task: str, config, evaluate: bool = False,
     if task == "nlvr":
         from x2vlm_tpu.data.finetune import NLVRDataset
 
-        ev = NLVRDataset(test_files(), test_tf, config["image_root"], pre)
+        ev = _per_split(test_files(), lambda f: NLVRDataset(
+            f, test_tf, config["image_root"], pre))
+        if evaluate:
+            return None, ev
+        return NLVRDataset(train_files(), train_tf, config["image_root"], pre), ev
+
+    if task == "marvl":
+        # MARVL trains on English NLVR2 and zero-shots the multilingual test
+        # sets; 'en' test = NLVR2 with image_root, others carry their own
+        # paths (reference dataset/__init__.py:313-324)
+        from x2vlm_tpu.data.finetune import NLVRDataset
+        from x2vlm_tpu.data.iglue import MARVLDataset
+
+        def build_eval(f, lang=None):
+            if lang == "en":
+                return NLVRDataset(f, test_tf, config["image_root"], pre)
+            return MARVLDataset(f, test_tf,
+                                config.get("marvl_image_root"), pre)
+
+        files = test_files()
+        if isinstance(files, dict):
+            ev = {k: build_eval(v, lang=k) for k, v in files.items()}
+        else:
+            ev = build_eval(files)
         if evaluate:
             return None, ev
         return NLVRDataset(train_files(), train_tf, config["image_root"], pre), ev
@@ -108,7 +153,8 @@ def create_dataset(task: str, config, evaluate: bool = False,
             answers = json.load(f)
         kw = dict(video_root=config["video_root"], text_pre=pre,
                   answer_list=answers, frame_len=config.get("frame_len", 5))
-        ev = VideoQADataset(test_files(), test_tf, training=False, **kw)
+        ev = _per_split(test_files(), lambda f: VideoQADataset(
+            f, test_tf, training=False, **kw))
         if evaluate:
             return None, ev
         return VideoQADataset(train_files(), train_tf, **kw), ev
@@ -116,34 +162,25 @@ def create_dataset(task: str, config, evaluate: bool = False,
     if task in ("video_retrieval", "itr_coco_msrvtt"):
         from x2vlm_tpu.data.video import VideoRetrievalDataset
 
-        ev = VideoRetrievalDataset(test_files(), test_tf,
-                                   config["video_root"], pre,
-                                   frame_len=config.get("frame_len", 5))
+        ev = _per_split(test_files(), lambda f: VideoRetrievalDataset(
+            f, test_tf, config["video_root"], pre,
+            frame_len=config.get("frame_len", 5)))
         return None, ev
 
     if task == "xvnli":
         from x2vlm_tpu.data.iglue import XVNLIDataset
 
-        ev = XVNLIDataset(test_files(), test_tf, config["image_root"], pre)
+        ev = _per_split(test_files(), lambda f: XVNLIDataset(
+            f, test_tf, config["image_root"], pre))
         if evaluate:
             return None, ev
         return XVNLIDataset(train_files(), train_tf, config["image_root"], pre), ev
 
-    if task == "marvl":
-        from x2vlm_tpu.data.iglue import MARVLDataset
-
-        ev = MARVLDataset(test_files(), test_tf, config["image_root"], pre)
-        if evaluate:
-            return None, ev
-        from x2vlm_tpu.data.finetune import NLVRDataset
-
-        # MARVL trains on English NLVR2 and zero-shots multilingual test
-        return NLVRDataset(train_files(), train_tf, config["image_root"], pre), ev
-
     if task == "xflickrco":
         from x2vlm_tpu.data.iglue import XFlickrCODataset
 
-        ev = XFlickrCODataset(test_files(), test_tf, config["image_root"], pre)
+        ev = _per_split(test_files(), lambda f: XFlickrCODataset(
+            f, test_tf, config["image_root"], pre))
         if evaluate:
             return None, ev
         return XFlickrCODataset(train_files(), train_tf, config["image_root"],
@@ -152,7 +189,8 @@ def create_dataset(task: str, config, evaluate: bool = False,
     if task == "wit":
         from x2vlm_tpu.data.iglue import WITRetrievalDataset
 
-        ev = WITRetrievalDataset(test_files(), test_tf, pre)
+        ev = _per_split(test_files(), lambda f: WITRetrievalDataset(
+            f, test_tf, pre))
         if evaluate:
             return None, ev
         return WITRetrievalDataset(train_files(), train_tf, pre), ev

@@ -176,8 +176,11 @@ class XVNLIDataset:
 
 class MARVLDataset:
     """MARVL: NLVR-style two-image reasoning in 5 languages; JSONL
-    {left_img, right_img, caption, label} (reference marvl handling in
-    nlvr_dataset.py + MARVL.py)."""
+    {left_img, right_img, caption, label} or NLVR-format
+    {images: [l, r], sentence, label} with self-contained paths
+    (reference marvl handling in nlvr_dataset.py + MARVL.py;
+    image_root=None means annotation paths are used as-is,
+    dataset/__init__.py:318-322)."""
 
     def __init__(self, ann_files, transform, image_root, text_pre):
         self.ann = _read_jsonl(ann_files)
@@ -188,11 +191,19 @@ class MARVLDataset:
     def __len__(self):
         return len(self.ann)
 
+    def _open(self, rpath):
+        path = os.path.join(self.image_root, rpath) if self.image_root else rpath
+        return Image.open(path).convert("RGB")
+
     def __getitem__(self, index):
         a = self.ann[index]
-        im0 = Image.open(os.path.join(self.image_root, a["left_img"])).convert("RGB")
-        im1 = Image.open(os.path.join(self.image_root, a["right_img"])).convert("RGB")
-        ids, atts = self.text_pre(a["caption"])
+        if "images" in a:  # NLVR-format annotations
+            left, right, caption = a["images"][0], a["images"][1], a["sentence"]
+        else:
+            left, right, caption = a["left_img"], a["right_img"], a["caption"]
+        im0 = self._open(left)
+        im1 = self._open(right)
+        ids, atts = self.text_pre(caption)
         label = 1 if (a["label"] is True or str(a["label"]).lower() == "true") else 0
         return {"image0": self.transform(im0).astype(np.float32),
                 "image1": self.transform(im1).astype(np.float32),

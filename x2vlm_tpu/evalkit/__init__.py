@@ -1,4 +1,6 @@
 from x2vlm_tpu.evalkit.vqa import normalize_answer, vqa_accuracy, vqa_eval, exact_match_accuracy
 from x2vlm_tpu.evalkit.grounding import grounding_eval_bbox, iou_xyxy, cxcywh_norm_to_xyxy_pixels
-from x2vlm_tpu.evalkit.caption import bleu, cider_d, caption_eval
+from x2vlm_tpu.evalkit.caption import (
+    bleu, caption_eval, cider_d, meteor, porter_stem, rouge_l,
+)
 from x2vlm_tpu.evalkit.refer import rle_decode, mask_iou, grounding_eval_mask

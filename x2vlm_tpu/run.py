@@ -6,6 +6,11 @@ Usage:
         --output_dir out/ [--checkpoint x2vlm_base_4m.th] [--evaluate] \
         [--override_cfg "batch_size:64;optimizer.lr:2e-5"]
 
+Tasks cover the reference's 15 entry points: Pretrain (incl. CCLM/aux
+streams), Retrieval, XRetrieval, WIT, xFlickrCO, VQA, XGQA, NLVR, MARVL,
+Grounding_bbox, Captioning_MLM, XVNLI, VQA_msrvtt/msvd (video_qa),
+video retrieval eval, and the generic classification runner.
+
 TPU-native launch model: ONE process per host (pjit spans all local chips
 automatically; multi-host via `jax.distributed.initialize` when
 JAX_COORDINATOR_ADDRESS is set) — no torch.distributed.launch command
@@ -16,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import random
 import time
@@ -26,7 +32,9 @@ import numpy as np
 
 from x2vlm_tpu.core import config as config_lib
 from x2vlm_tpu.core import mesh as mesh_lib
+from x2vlm_tpu.data.factory import create_dataset
 from x2vlm_tpu.factory import build_model
+from x2vlm_tpu.parallel import state_shardings
 from x2vlm_tpu.tasks.finetune import append_log, train_epochs
 from x2vlm_tpu.train import (
     checkpoint as ckpt_lib,
@@ -34,8 +42,9 @@ from x2vlm_tpu.train import (
     param_labels,
 )
 
-TASKS = ("pretrain", "retrieval", "vqa", "nlvr", "grounding", "captioning",
-         "classification")
+TASKS = ("pretrain", "retrieval", "xretrieval", "wit", "xflickrco",
+         "video_retrieval", "vqa", "xgqa", "nlvr", "marvl",
+         "grounding", "captioning", "classification", "xvnli", "video_qa")
 
 
 def parse_args(argv=None):
@@ -47,12 +56,14 @@ def parse_args(argv=None):
                    help=".th (torch, imported) or orbax checkpoint dir")
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--resume", action="store_true",
-                   help="resume full train state from output_dir/ckpt")
+                   help="resume full train state (+ pretrain data cursor) "
+                        "from output_dir/ckpt")
     p.add_argument("--override_cfg", default="")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--bs", default=-1, type=int, help="override batch_size")
     p.add_argument("--epoch", default=-1, type=int, help="override epochs")
-    p.add_argument("--fsdp", default=1, type=int)
+    p.add_argument("--fsdp", default=1, type=int,
+                   help="size of the parameter-sharding mesh axis (ZeRO)")
     p.add_argument("--wait", default=0, type=int,
                    help="minutes to sleep before starting (reference run.py:476)")
     return p.parse_args(argv)
@@ -78,31 +89,61 @@ def setup(args):
     return cfg, mesh
 
 
-def make_optimizer(cfg, params, total_steps, fusion_layer):
+def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=()):
+    """Reference optim.py:26-104 param groups: base lr, per-tower vision/text/
+    cross lr overrides, and lr_mult for freshly-initialized params."""
     opt = cfg.get("optimizer", {})
     sched_cfg = cfg.get("schedular", {})
+    base_lr = float(opt.get("lr", sched_cfg.get("lr", 1e-4)))
     sched = lr_schedule(
-        float(opt.get("lr", sched_cfg.get("lr", 1e-4))),
+        base_lr,
         total_steps,
         warmup_steps=sched_cfg.get("num_warmup_steps", 0.1),
         min_rate=sched_cfg.get("min_rate", 0.0),
     )
-    labels = param_labels(params, fusion_layer=fusion_layer)
+    labels = param_labels(params, fusion_layer=fusion_layer,
+                          fresh_paths=fresh_paths)
     return create_optimizer(
         params, sched,
         weight_decay=float(opt.get("weight_decay", 0.01)),
         clip_grad_norm=cfg.get("accelerator", {}).get("CLIP_GRAD_NORM", 1.0),
         lr_mult=float(opt.get("lr_mult", 1.0)),
-        vision_lr_scale=float(opt.get("vision_lr", opt.get("lr", 1e-4)))
-        / float(opt.get("lr", 1e-4)),
-        text_lr_scale=float(opt.get("text_lr", opt.get("lr", 1e-4)))
-        / float(opt.get("lr", 1e-4)),
+        vision_lr_scale=float(opt.get("vision_lr", base_lr)) / base_lr,
+        text_lr_scale=float(opt.get("text_lr", base_lr)) / base_lr,
+        cross_lr_scale=float(opt.get("cross_lr", base_lr)) / base_lr,
         labels=labels,
     )
 
 
+def apply_fsdp(state, mesh):
+    """Install the train state's mesh shardings: ZeRO-sharded over the fsdp
+    axis when fsdp>1, fully replicated otherwise (the reference's DDP
+    posture). Always device_put — restored checkpoints arrive committed to a
+    single device and must be re-laid-out onto the mesh."""
+    shardings = state_shardings(
+        state, mesh,
+        min_size=2 ** 16 if mesh.shape[mesh_lib.FSDP_AXIS] > 1 else 2 ** 62)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
+def maybe_resume(args, state):
+    """--resume: orbax-restore the full TrainState (params+opt+step) from
+    output_dir/ckpt. Returns (state, resumed_step)."""
+    if not args.resume:
+        return state, 0
+    ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    restored, step = ckpt_lib.restore_train_state(ckpt_dir, state)
+    if restored is None:
+        print(f"### --resume: no checkpoint in {ckpt_dir}, starting fresh")
+        return state, 0
+    print(f"### resumed train state at step {step}")
+    return restored, int(step)
+
+
 def load_initial_params(args, cfg, model, init_variables):
-    """`.th` import with surgery, or orbax restore."""
+    """`.th` import with surgery, or orbax restore. Returns (variables,
+    missing) where `missing` are the freshly-initialized param paths that get
+    the optimizer's lr_mult group (reference init_params, xvlm.py:566-577)."""
     if not args.checkpoint:
         return init_variables, []
     if args.checkpoint.endswith(".th") or args.checkpoint.endswith(".pth"):
@@ -126,195 +167,62 @@ def load_initial_params(args, cfg, model, init_variables):
     return {"params": params}, []
 
 
-def run_retrieval(args, cfg, mesh):
-    from x2vlm_tpu.data import (
-        MapLoader, RetrievalEvalDataset, RetrievalTrainDataset, TextPreprocessor,
-        build_tokenizer,
-    )
-    from x2vlm_tpu.data import transforms as T
-    from x2vlm_tpu.models.heads import XVLMForRetrieval
-    from x2vlm_tpu.tasks.retrieval import evaluate_retrieval
-
-    model, mcfg = build_model(cfg, "retrieval")
-    tokenizer = build_tokenizer(cfg["text_encoder"])
-    pre = TextPreprocessor(tokenizer, max_tokens=cfg.get("max_tokens", 40))
-
-    test_ds = RetrievalEvalDataset(cfg["test_file"], T.test_transform(cfg["image_res"]),
-                                   cfg["image_root"], pre)
-    batch_size = cfg.get("batch_size", 32)
-
-    with mesh_lib.global_mesh(mesh):
-        example = {
-            "image": jnp.zeros((2, cfg["image_res"], cfg["image_res"], 3)),
-            "text_ids": jnp.zeros((2, pre.max_tokens), jnp.int32),
-            "text_atts": jnp.ones((2, pre.max_tokens), jnp.int32),
-            "idx": jnp.zeros((2,), jnp.int32),
-        }
-        variables = model.init(
-            {"params": jax.random.PRNGKey(args.seed),
-             "dropout": jax.random.PRNGKey(args.seed + 1)},
-            example, rng=jax.random.PRNGKey(0))
-        variables, _ = load_initial_params(args, cfg, model, variables)
-
-        eval_fn = lambda state: evaluate_retrieval(
-            model, {"params": state.params if hasattr(state, "params") else state},
-            test_ds, k_test=cfg.get("k_test", 128),
-            host_id=jax.process_index(), num_hosts=jax.process_count())
-
-        if args.evaluate:
-            metrics = evaluate_retrieval(
-                model, variables, test_ds, k_test=cfg.get("k_test", 128),
-                host_id=jax.process_index(), num_hosts=jax.process_count())
-            print(metrics)
-            append_log(args.output_dir, {"eval": metrics})
-            return
-
-        train_ds = RetrievalTrainDataset(
-            cfg["train_file"], T.train_transform(cfg["image_res"]),
-            cfg["image_root"], pre)
-        loader = MapLoader(train_ds, batch_size,
-                           host_id=jax.process_index(),
-                           num_hosts=jax.process_count())
-        epochs = cfg.get("schedular", {}).get("epochs", 5)
-        tx = make_optimizer(cfg, variables["params"],
-                            total_steps=len(loader) * epochs,
-                            fusion_layer=mcfg.text.fusion_layer)
-        state = create_train_state(variables, tx)
-        step_fn = make_train_step(model, tx)
-
-        def save_fn(state, epoch, best=False):
-            ckpt_lib.save_train_state(
-                os.path.join(args.output_dir, "ckpt"), state, int(state.step))
-
-        train_epochs(model, state, step_fn, loader, num_epochs=epochs,
-                     rng_key=jax.random.PRNGKey(args.seed), use_mesh=True,
-                     eval_fn=eval_fn, metric_key="r_mean",
-                     output_dir=args.output_dir, save_fn=save_fn)
+def eval_multi(eval_one, eval_sets, mean_key=None):
+    """Per-language eval over a {lang: dataset} dict (reference
+    XRetrieval.py/MARVL.py/XGQA.py loops over test_dataset_dict); scalar
+    datasets pass through. `mean_key` additionally averages that metric
+    across languages for best-model tracking."""
+    if not isinstance(eval_sets, dict):
+        return eval_one(eval_sets)
+    out = {}
+    vals = []
+    for lang, ds in eval_sets.items():
+        m = eval_one(ds, lang=lang) if _wants_lang(eval_one) else eval_one(ds)
+        out.update({f"{lang}_{k}": v for k, v in m.items()})
+        if mean_key and mean_key in m:
+            vals.append(m[mean_key])
+    if mean_key and vals:
+        out[mean_key] = sum(vals) / len(vals)
+    return out
 
 
-def run_pretrain(args, cfg, mesh):
-    from x2vlm_tpu.data import (
-        DistLineReader, TextPreprocessor, build_tokenizer, iter_batches,
-    )
-    from x2vlm_tpu.data import transforms as T
-    from x2vlm_tpu.data.pretrain import (
-        ImageTextStream, RegionTextStream, TextStream, region_collate,
-    )
-    from x2vlm_tpu.models.heads import pretrain_init_inputs
-    from x2vlm_tpu.tasks.pretrain import PretrainStreams, pretrain_loop
+def _wants_lang(fn):
+    import inspect
 
-    model, mcfg = build_model(cfg, "pretrain")
-    tokenizer = build_tokenizer(cfg["text_encoder"])
-    pre = TextPreprocessor(
-        tokenizer, max_tokens=cfg.get("max_tokens", 40),
-        max_words=cfg.get("max_words", 40), max_masks=cfg.get("max_masks", 12),
-        mask_prob=cfg.get("mask_prob", 0.5),
-        mask_whole_word=cfg.get("mask_whole_word", True),
-        skipgram_prb=cfg.get("skipgram_prb", 0.2),
-        skipgram_size=cfg.get("skipgram_size", 3))
+    try:
+        return "lang" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
 
-    host, nhosts = jax.process_index(), jax.process_count()
 
-    def image_batches():
-        icfg = cfg.get("images", {})
-        reader = DistLineReader(cfg["train_file"], rank=host, world_size=nhosts)
-        stream = ImageTextStream(
-            reader, pre, T.pretrain_transform(cfg["image_res"]),
-            image_key=icfg.get("image_key", "binary"),
-            caption_key=icfg.get("caption_key", "desc"),
-            is_image_rpath=icfg.get("is_image_rpath", False))
-        yield from iter_batches(iter(stream), icfg.get("batch_size", 128))
+def _train_state_and_loop(args, cfg, mesh, model, mcfg, variables, missing,
+                          train_loader, eval_fn=None, metric_key=None):
+    """Shared optimizer/state/fsdp/resume/epoch-loop tail of every fine-tune
+    runner."""
+    epochs = cfg.get("schedular", {}).get("epochs", 5)
+    accum = int(cfg.get("accumulate_steps", 1))
+    steps_per_epoch = max(1, len(train_loader) // accum)
+    tx = make_optimizer(cfg, variables["params"],
+                        total_steps=steps_per_epoch * epochs,
+                        fusion_layer=mcfg.text.fusion_layer,
+                        fresh_paths=missing)
+    state = create_train_state(variables, tx)
+    state, resumed_step = maybe_resume(args, state)
+    state = apply_fsdp(state, mesh)
+    start_epoch = min(resumed_step // max(1, steps_per_epoch), epochs)
+    step_fn = make_train_step(model, tx, accum_steps=accum)
 
-    streams = {"image": image_batches()}
-    rcfg = cfg.get("regions")
-    if rcfg and cfg.get("train_file_regions"):
-        # every leading batch dim must divide the device count for sharding;
-        # round max_images up (reference uses 50 per GPU — here the host batch
-        # spans all local chips)
-        n_dev = jax.device_count()
-        rcfg = dict(rcfg)
-        rcfg["max_images"] = -(-rcfg.get("max_images", 50) // n_dev) * n_dev
-        assert rcfg.get("batch_size", 128) % n_dev == 0, \
-            "regions.batch_size must divide the device count"
+    def save_fn(state, epoch, best=False):
+        ckpt_lib.save_train_state(
+            os.path.join(args.output_dir, "ckpt"), state, int(state.step))
 
-        def region_batches():
-            reader = DistLineReader(cfg["train_file_regions"], rank=host,
-                                    world_size=nhosts)
-            stream = RegionTextStream(
-                reader, pre, T.box_transform(), image_res=cfg["image_res"],
-                patch_size=cfg.get("patch_size", 16),
-                max_regions=rcfg.get("max_regions", 5),
-                min_perc_in_image=rcfg.get("min_perc_in_image", 0.5),
-                careful_hflip=rcfg.get("careful_hflip", True),
-                image_key=rcfg.get("image_key", "binary"))
-            it = iter(stream)
-            while True:
-                samples = [next(it) for _ in range(rcfg.get("max_images", 50))]
-                yield region_collate(samples, rcfg.get("batch_size", 128),
-                                     rcfg.get("max_images", 50))
-
-        streams["region"] = region_batches()
-    vcfg = cfg.get("videos")
-    if vcfg and cfg.get("train_file_videos"):
-        from x2vlm_tpu.data.pretrain import VideoTextStream
-
-        def video_batches():
-            reader = DistLineReader(cfg["train_file_videos"], rank=host,
-                                    world_size=nhosts)
-            stream = VideoTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"]),
-                frame_len=cfg.get("frame_len", 3),
-                frames_key=vcfg.get("frames_key", "frames"),
-                caption_key=vcfg.get("caption_key", "caption"),
-                is_image_rpath=vcfg.get("is_image_rpath", False))
-            yield from iter_batches(iter(stream), vcfg.get("batch_size", 40))
-
-        streams["video"] = video_batches()
-    tcfg = cfg.get("texts")
-    if tcfg and cfg.get("train_file_text"):
-        def text_batches():
-            reader = DistLineReader(cfg["train_file_text"], rank=host,
-                                    world_size=nhosts)
-            stream = TextStream(reader, pre,
-                                caption_key=tcfg.get("caption_key", "text"))
-            yield from iter_batches(iter(stream), tcfg.get("batch_size", 128))
-
-        streams["text"] = text_batches()
-
-    with mesh_lib.global_mesh(mesh):
-        variables = model.init(
-            {"params": jax.random.PRNGKey(args.seed),
-             "dropout": jax.random.PRNGKey(args.seed + 1)},
-            pretrain_init_inputs(mcfg), rng=jax.random.PRNGKey(0),
-            ret_bbox_loss=True)
-        variables, _ = load_initial_params(args, cfg, model, variables)
-
-        sched_cfg = cfg.get("schedular", {})
-        steps_per_epoch = cfg.get("train_dataset_size", 10 ** 6) // (
-            cfg.get("images", {}).get("batch_size", 128) * max(nhosts, 1))
-        total_steps = steps_per_epoch * sched_cfg.get("epochs", 3)
-        tx = make_optimizer(cfg, variables["params"], total_steps,
-                            fusion_layer=mcfg.text.fusion_layer)
-        state = create_train_state(variables, tx)
-
-        ps = PretrainStreams(
-            image=streams["image"], region=streams.get("region"),
-            video=streams.get("video"), text=streams.get("text"),
-            region_perc=(cfg.get("regions") or {}).get("iter_perc", 1.0),
-            video_perc=(cfg.get("videos") or {}).get("iter_perc", 1.0),
-            text_perc=(cfg.get("texts") or {}).get("iter_perc", 1.0))
-
-        def checkpoint_fn(state, step):
-            ckpt_lib.save_train_state(
-                os.path.join(args.output_dir, "ckpt"), state, step)
-
-        state = pretrain_loop(
-            model, state, tx, ps, num_steps=total_steps,
-            rng_key=jax.random.PRNGKey(args.seed),
-            shard_fn=mesh_lib.shard_batch,
-            stop_calc_itm_after=cfg.get("stop_calc_itm", None),
-            checkpoint_fn=checkpoint_fn,
-            checkpoint_every=cfg.get("ckpt_frequent_step", 50000))
+    return train_epochs(
+        model, state, step_fn, train_loader, num_epochs=epochs,
+        start_epoch=start_epoch,
+        rng_key=jax.random.PRNGKey(args.seed), use_mesh=True,
+        eval_fn=(lambda st: eval_fn({"params": st.params}))
+        if eval_fn else None,
+        metric_key=metric_key, output_dir=args.output_dir, save_fn=save_fn)
 
 
 def _finetune_common(args, cfg, mesh, model, mcfg, train_loader, example_batch,
@@ -324,90 +232,126 @@ def _finetune_common(args, cfg, mesh, model, mcfg, train_loader, example_batch,
             {"params": jax.random.PRNGKey(args.seed),
              "dropout": jax.random.PRNGKey(args.seed + 1)},
             example_batch, **(extra_init_kwargs or {}))
-        variables, _ = load_initial_params(args, cfg, model, variables)
+        variables, missing = load_initial_params(args, cfg, model, variables)
 
         if args.evaluate:
-            metrics = eval_fn_wrap(eval_fn, variables)
+            metrics = eval_fn(variables) if eval_fn else {}
             print(metrics)
             append_log(args.output_dir, {"eval": metrics})
             return None
 
-        epochs = cfg.get("schedular", {}).get("epochs", 5)
-        tx = make_optimizer(cfg, variables["params"],
-                            total_steps=len(train_loader) * epochs,
-                            fusion_layer=mcfg.text.fusion_layer)
-        state = create_train_state(variables, tx)
-        step_fn = make_train_step(model, tx)
-
-        def save_fn(state, epoch, best=False):
-            ckpt_lib.save_train_state(
-                os.path.join(args.output_dir, "ckpt"), state, int(state.step))
-
-        return train_epochs(
-            model, state, step_fn, train_loader, num_epochs=epochs,
-            rng_key=jax.random.PRNGKey(args.seed), use_mesh=True,
-            eval_fn=(lambda st: eval_fn_wrap(eval_fn, {"params": st.params}))
-            if eval_fn else None,
-            metric_key=metric_key, output_dir=args.output_dir, save_fn=save_fn)
+        return _train_state_and_loop(args, cfg, mesh, model, mcfg, variables,
+                                     missing, train_loader, eval_fn=eval_fn,
+                                     metric_key=metric_key)
 
 
-def eval_fn_wrap(eval_fn, variables):
-    return eval_fn(variables) if eval_fn else {}
+def _stack_example(sample):
+    return {k: jnp.asarray(np.stack([v, v])) for k, v in sample.items()}
 
 
-def run_nlvr(args, cfg, mesh):
-    from x2vlm_tpu.data import MapLoader, NLVRDataset, TextPreprocessor, build_tokenizer
-    from x2vlm_tpu.data import transforms as T
+def run_retrieval(args, cfg, mesh, task="retrieval"):
+    """retrieval | xretrieval | wit | xflickrco | video_retrieval — all share
+    the two-stage ITC→ITM protocol (reference Retrieval.py:71-215,
+    XRetrieval.py:262, WIT.py:251, xFlickrCO.py:251)."""
+    from x2vlm_tpu.data import MapLoader
+    from x2vlm_tpu.tasks.retrieval import evaluate_retrieval
+
+    model, mcfg = build_model(cfg, "retrieval")
+    evaluate_only = args.evaluate or task == "video_retrieval"
+    train_ds, test_ds = create_dataset(task, cfg, evaluate=evaluate_only,
+                                       rng=random.Random(args.seed))
+
+    with mesh_lib.global_mesh(mesh):
+        res = cfg["image_res"]
+        frame = (cfg.get("frame_len", 1), ) if task == "video_retrieval" else ()
+        max_tokens = cfg.get("max_tokens", 40)
+        example = {
+            "image": jnp.zeros((2, *frame, res, res, 3)),
+            "text_ids": jnp.zeros((2, max_tokens), jnp.int32),
+            "text_atts": jnp.ones((2, max_tokens), jnp.int32),
+            "idx": jnp.zeros((2,), jnp.int32),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "dropout": jax.random.PRNGKey(args.seed + 1)},
+            example, rng=jax.random.PRNGKey(0))
+        variables, missing = load_initial_params(args, cfg, model, variables)
+
+        def eval_fn(v):
+            return eval_multi(
+                lambda ds: evaluate_retrieval(
+                    model, v, ds, k_test=cfg.get("k_test", 128),
+                    host_id=jax.process_index(),
+                    num_hosts=jax.process_count()),
+                test_ds, mean_key="r_mean")
+
+        if evaluate_only:
+            metrics = eval_fn(variables)
+            print(metrics)
+            append_log(args.output_dir, {"eval": metrics})
+            return
+
+        loader = MapLoader(train_ds, cfg.get("batch_size", 32),
+                           host_id=jax.process_index(),
+                           num_hosts=jax.process_count())
+        _train_state_and_loop(
+            args, cfg, mesh, model, mcfg, variables, missing, loader,
+            eval_fn=lambda v: eval_fn(v), metric_key="r_mean")
+
+
+def run_nlvr(args, cfg, mesh, task="nlvr"):
+    """nlvr | marvl (reference NLVR.py, MARVL.py:134 — MARVL trains on
+    English NLVR2, zero-shots the multilingual test sets)."""
+    from x2vlm_tpu.data import MapLoader
     from x2vlm_tpu.tasks.classification import evaluate_classification
 
     model, mcfg = build_model(cfg, "nlvr")
-    tokenizer = build_tokenizer(cfg["text_encoder"])
-    pre = TextPreprocessor(tokenizer, max_tokens=cfg.get("max_tokens", 40))
-    res = cfg["image_res"]
-    train_ds = NLVRDataset(cfg["train_file"], T.train_transform(res),
-                           cfg["image_root"], pre)
-    test_ds = NLVRDataset(cfg["test_file"], T.test_transform(res),
-                          cfg["image_root"], pre)
-    loader = MapLoader(train_ds, cfg.get("batch_size", 32),
-                       host_id=jax.process_index(), num_hosts=jax.process_count())
-    example = train_ds[0]
-    example = {k: jnp.asarray(np.stack([v, v])) for k, v in example.items()}
-    eval_fn = lambda v: evaluate_classification(
-        model, v, test_ds, batch_size=cfg.get("batch_size_test", 32),
-        host_id=jax.process_index(), num_hosts=jax.process_count())
+    train_ds, test_ds = create_dataset(task, cfg, evaluate=args.evaluate,
+                                       rng=random.Random(args.seed))
+
+    def eval_fn(v):
+        return eval_multi(
+            lambda ds: evaluate_classification(
+                model, v, ds, batch_size=cfg.get("batch_size_test", 32),
+                host_id=jax.process_index(), num_hosts=jax.process_count()),
+            test_ds, mean_key="accuracy")
+
+    if args.evaluate:
+        loader = None
+        first = next(iter(test_ds.values())) if isinstance(test_ds, dict) else test_ds
+        example = _stack_example(first[0])
+    else:
+        loader = MapLoader(train_ds, cfg.get("batch_size", 32),
+                           host_id=jax.process_index(),
+                           num_hosts=jax.process_count())
+        example = _stack_example(train_ds[0])
     _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
                      eval_fn=eval_fn, metric_key="accuracy")
 
 
-def run_grounding(args, cfg, mesh):
-    from x2vlm_tpu.data import (
-        GroundingEvalDataset, GroundingTrainDataset, MapLoader,
-        TextPreprocessor, build_tokenizer,
-    )
-    from x2vlm_tpu.data import transforms as T
+def run_grounding(args, cfg, mesh, task="grounding"):
+    from x2vlm_tpu.data import MapLoader
     from x2vlm_tpu.evalkit import grounding_eval_bbox
     from x2vlm_tpu.tasks.grounding import predict_grounding
 
     model, mcfg = build_model(cfg, "grounding")
-    tokenizer = build_tokenizer(cfg["text_encoder"])
-    pre = TextPreprocessor(tokenizer, max_tokens=cfg.get("max_tokens", 40))
-    res = cfg["image_res"]
-    train_ds = GroundingTrainDataset(cfg["train_file"], T.box_transform(),
-                                     cfg["image_root"], pre, image_res=res,
-                                     careful_hflip=cfg.get("careful_hflip", True))
-    test_ds = GroundingEvalDataset(cfg["test_file"], T.test_transform(res),
-                                   cfg["image_root"], pre)
-    loader = MapLoader(train_ds, cfg.get("batch_size", 32),
-                       host_id=jax.process_index(), num_hosts=jax.process_count())
-    example = train_ds[0]
-    example = {k: jnp.asarray(np.stack([v, v])) for k, v in example.items()}
+    train_ds, test_ds = create_dataset(task, cfg, evaluate=args.evaluate,
+                                       rng=random.Random(args.seed))
+    loader = example = None
+    if not args.evaluate:
+        loader = MapLoader(train_ds, cfg.get("batch_size", 32),
+                           host_id=jax.process_index(),
+                           num_hosts=jax.process_count())
+        example = _stack_example(train_ds[0])
+    else:
+        example = _stack_example({k: v for k, v in test_ds[0].items()
+                                  if k != "ref_id"})
+        example["target_bbox"] = jnp.full((2, 4), 0.4)
 
     refs = None
     if cfg.get("refs_file"):
-        import json as _json
-
         with open(cfg["refs_file"]) as f:
-            refs = {int(k): v for k, v in _json.load(f).items()}
+            refs = {int(k): v for k, v in json.load(f).items()}
 
     def eval_fn(v):
         results = predict_grounding(model, v, test_ds,
@@ -420,26 +364,15 @@ def run_grounding(args, cfg, mesh):
                      eval_fn=eval_fn, metric_key="val_acc" if refs else None)
 
 
-def run_vqa(args, cfg, mesh):
-    from x2vlm_tpu.data import (
-        MapLoader, TextPreprocessor, VQAEvalDataset, VQATrainDataset,
-        build_tokenizer, vqa_collate,
-    )
-    from x2vlm_tpu.data import transforms as T
+def run_vqa(args, cfg, mesh, task="vqa"):
+    """vqa | xgqa (reference VQA.py, XGQA.py:181 — same ranking protocol,
+    XGQA adds per-language test sets)."""
+    from x2vlm_tpu.data import MapLoader, vqa_collate
     from x2vlm_tpu.tasks.vqa import evaluate_vqa
 
     model, mcfg = build_model(cfg, "vqa")
-    tokenizer = build_tokenizer(cfg["text_encoder"])
-    pre = TextPreprocessor(tokenizer, max_tokens=cfg.get("max_tokens", 40))
-    res = cfg["image_res"]
-    a_max = cfg.get("answer_max_tokens", 10)
-    train_ds = VQATrainDataset(cfg["train_file"], T.train_transform(res),
-                               cfg.get("vqa_root", cfg.get("image_root")),
-                               pre, tokenizer, answer_max_tokens=a_max)
-    test_ds = VQAEvalDataset(cfg["test_file"], T.test_transform(res),
-                             cfg.get("vqa_root", cfg.get("image_root")), pre,
-                             tokenizer, answer_list_file=cfg.get("answer_list"),
-                             answer_max_tokens=a_max)
+    train_ds, test_ds = create_dataset(task, cfg, evaluate=args.evaluate,
+                                       rng=random.Random(args.seed))
 
     answers_per_batch = cfg.get("answers_per_batch",
                                 cfg.get("batch_size", 32) * 2)
@@ -459,60 +392,68 @@ def run_vqa(args, cfg, mesh):
             for b in batches:
                 yield [self.dataset[i] for i in b]
 
-    loader = _VQALoader(train_ds, cfg.get("batch_size", 32),
-                        host_id=jax.process_index(),
-                        num_hosts=jax.process_count())
-    example = vqa_collate([train_ds[0], train_ds[min(1, len(train_ds) - 1)]],
-                          answers_per_batch=4)
-    example = jax.tree_util.tree_map(jnp.asarray, example)
+    loader = example = None
+    if not args.evaluate:
+        loader = _VQALoader(train_ds, cfg.get("batch_size", 32),
+                            host_id=jax.process_index(),
+                            num_hosts=jax.process_count())
+        example = vqa_collate([train_ds[0], train_ds[min(1, len(train_ds) - 1)]],
+                              answers_per_batch=4)
+        example = jax.tree_util.tree_map(jnp.asarray, example)
 
-    def eval_fn(v):
+    def eval_one(ds, lang=None):
         results = evaluate_vqa(
-            model, v, test_ds, test_ds.answer_list, test_ds.answer_ids,
-            test_ds.answer_atts, k_test=cfg.get("k_test", 128),
+            model, eval_one.variables, ds, ds.answer_list, ds.answer_ids,
+            ds.answer_atts, k_test=cfg.get("k_test", 128),
             batch_size=cfg.get("batch_size_test", 32),
             host_id=jax.process_index(), num_hosts=jax.process_count())
-        import json as _json
-
+        tag = f"_{lang}" if lang else ""
         out = os.path.join(args.output_dir,
-                           f"vqa_result_host{jax.process_index()}.json")
+                           f"vqa_result{tag}_host{jax.process_index()}.json")
         with open(out, "w") as f:
-            _json.dump(results, f)
+            json.dump(results, f)
         return {"n": len(results)}
+
+    def eval_fn(v):
+        eval_one.variables = v
+        return eval_multi(eval_one, test_ds)
+
+    if args.evaluate:
+        first = next(iter(test_ds.values())) if isinstance(test_ds, dict) else test_ds
+        s = first[0]
+        example = {"image": jnp.asarray(np.stack([s["image"]] * 2)),
+                   "question_ids": jnp.asarray(np.stack([s["question_ids"]] * 2)),
+                   "question_atts": jnp.asarray(np.stack([s["question_atts"]] * 2)),
+                   "answer_ids": jnp.asarray(first.answer_ids[:2]),
+                   "answer_atts": jnp.asarray(first.answer_atts[:2]),
+                   "answer_weights": jnp.ones((2,), jnp.float32),
+                   "answer_index": jnp.zeros((2,), jnp.int32)}
 
     _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
                      eval_fn=eval_fn)
 
 
-def run_captioning(args, cfg, mesh):
-    from x2vlm_tpu.data import (
-        CaptioningEvalDataset, CaptioningTrainDataset, MapLoader, build_tokenizer,
-    )
-    from x2vlm_tpu.data import transforms as T
+def run_captioning(args, cfg, mesh, task="captioning"):
+    from x2vlm_tpu.data import MapLoader, build_tokenizer
     from x2vlm_tpu.evalkit import caption_eval
     from x2vlm_tpu.tasks.captioning import generate_captions
 
     model, mcfg = build_model(cfg, "captioning")
     tokenizer = build_tokenizer(cfg["text_encoder"])
-    res = cfg["image_res"]
-    train_ds = CaptioningTrainDataset(
-        cfg["train_file"], T.train_transform(res, with_hflip=False),
-        cfg["image_root"], tokenizer, prompt=cfg.get("prompt", ""),
-        max_tokens=cfg.get("max_tokens", 25), max_masks=cfg.get("max_masks", 12),
-        mask_prob=cfg.get("mask_prob", 0.5), fg_free=cfg.get("fg_free", False))
-    test_ds = CaptioningEvalDataset(cfg["test_file"], T.test_transform(res),
-                                    cfg["image_root"])
-    loader = MapLoader(train_ds, cfg.get("batch_size", 16),
-                       host_id=jax.process_index(), num_hosts=jax.process_count())
-    example = train_ds[0]
-    example = {k: jnp.asarray(np.stack([v, v])) for k, v in example.items()}
+    train_ds, test_ds = create_dataset(task, cfg, evaluate=args.evaluate,
+                                       tokenizer=tokenizer,
+                                       rng=random.Random(args.seed))
+    loader = example = None
+    if not args.evaluate:
+        loader = MapLoader(train_ds, cfg.get("batch_size", 16),
+                           host_id=jax.process_index(),
+                           num_hosts=jax.process_count())
+        example = _stack_example(train_ds[0])
 
     anns = None
     if cfg.get("caption_gt_file"):
-        import json as _json
-
         with open(cfg["caption_gt_file"]) as f:
-            anns = {int(k): v for k, v in _json.load(f).items()}
+            anns = {int(k): v for k, v in json.load(f).items()}
 
     def eval_fn(v):
         results = generate_captions(
@@ -528,51 +469,268 @@ def run_captioning(args, cfg, mesh):
                      eval_fn=eval_fn, metric_key="cider" if anns else None)
 
 
-def run_classification(args, cfg, mesh):
-    """Covers XVNLI (image NLI) and video QA over an answer vocabulary
-    (VQA_msrvtt/VQA_msvd); dataset kind from config `dataset_type`."""
-    import json as _json
-
-    from x2vlm_tpu.data import MapLoader, TextPreprocessor, build_tokenizer
-    from x2vlm_tpu.data import transforms as T
+def run_classification(args, cfg, mesh, task="classification"):
+    """classification (config `dataset_type`) | xvnli | video_qa — accuracy
+    over an answer vocabulary (reference XVNLI.py, VQA_msrvtt.py/msvd)."""
+    from x2vlm_tpu.data import MapLoader
     from x2vlm_tpu.tasks.classification import evaluate_classification
 
-    tokenizer = build_tokenizer(cfg["text_encoder"])
-    pre = TextPreprocessor(tokenizer, max_tokens=cfg.get("max_tokens", 40))
-    res = cfg["image_res"]
-    kind = cfg.get("dataset_type", "xvnli")
-    if kind == "video_qa":
-        from x2vlm_tpu.data.video import VideoQADataset
-
+    if task == "classification":
+        task = {"video_qa": "video_qa"}.get(cfg.get("dataset_type"),
+                                            cfg.get("dataset_type", "xvnli"))
+    if task in ("video_qa", "vqa_msrvtt", "vqa_msvd"):
         with open(cfg["answer_list"]) as f:
-            answers = _json.load(f)
-        cfg["num_labels"] = len(answers)
-        train_ds = VideoQADataset(cfg["train_file"], T.train_transform(res),
-                                  cfg["video_root"], pre, answers,
-                                  frame_len=cfg.get("frame_len", 5))
-        test_ds = VideoQADataset(cfg["test_file"], T.test_transform(res),
-                                 cfg["video_root"], pre, answers,
-                                 frame_len=cfg.get("frame_len", 5),
-                                 training=False)
+            cfg["num_labels"] = len(json.load(f))
     else:
-        from x2vlm_tpu.data.iglue import XVNLIDataset
-
         cfg.setdefault("num_labels", 3)
-        train_ds = XVNLIDataset(cfg["train_file"], T.train_transform(res),
-                                cfg["image_root"], pre)
-        test_ds = XVNLIDataset(cfg["test_file"], T.test_transform(res),
-                               cfg["image_root"], pre)
 
+    train_ds, test_ds = create_dataset(task, cfg, evaluate=args.evaluate,
+                                       rng=random.Random(args.seed))
     model, mcfg = build_model(cfg, "classification")
-    loader = MapLoader(train_ds, cfg.get("batch_size", 32),
-                       host_id=jax.process_index(), num_hosts=jax.process_count())
-    example = train_ds[0]
-    example = {k: jnp.asarray(np.stack([v, v])) for k, v in example.items()}
-    eval_fn = lambda v: evaluate_classification(
-        model, v, test_ds, batch_size=cfg.get("batch_size_test", 32),
-        host_id=jax.process_index(), num_hosts=jax.process_count())
+
+    loader = example = None
+    if not args.evaluate:
+        loader = MapLoader(train_ds, cfg.get("batch_size", 32),
+                           host_id=jax.process_index(),
+                           num_hosts=jax.process_count())
+        example = _stack_example(train_ds[0])
+    else:
+        first = next(iter(test_ds.values())) if isinstance(test_ds, dict) else test_ds
+        example = _stack_example(first[0])
+
+    def eval_fn(v):
+        return eval_multi(
+            lambda ds: evaluate_classification(
+                model, v, ds, batch_size=cfg.get("batch_size_test", 32),
+                host_id=jax.process_index(), num_hosts=jax.process_count()),
+            test_ds, mean_key="accuracy")
+
     _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
                      eval_fn=eval_fn, metric_key="accuracy")
+
+
+def run_pretrain(args, cfg, mesh):
+    """Mixed-stream pretraining: image (noisy + optional aux clean), region,
+    video (+ video aux), text-MLM, and CCLM parallel-text streams (reference
+    Pretrain.py:255-423, model_pretrain.py:148-196)."""
+    from x2vlm_tpu.data import (
+        DistLineReader, TextPreprocessor, build_tokenizer, iter_batches,
+    )
+    from x2vlm_tpu.data import transforms as T
+    from x2vlm_tpu.data.multilingual import (
+        ImageMultiTextStream, ParaTextStream, RegionMultiTextStream,
+    )
+    from x2vlm_tpu.data.pretrain import (
+        ImageTextStream, RegionTextStream, TextStream, region_collate,
+    )
+    from x2vlm_tpu.models.heads import pretrain_init_inputs
+    from x2vlm_tpu.tasks.pretrain import PretrainStreams, pretrain_loop
+
+    model, mcfg = build_model(cfg, "pretrain")
+    tokenizer = build_tokenizer(cfg["text_encoder"])
+    pre = TextPreprocessor(
+        tokenizer, max_tokens=cfg.get("max_tokens", 40),
+        max_words=cfg.get("max_words", 40), max_masks=cfg.get("max_masks", 12),
+        mask_prob=cfg.get("mask_prob", 0.5),
+        mask_whole_word=cfg.get("mask_whole_word", True),
+        skipgram_prb=cfg.get("skipgram_prb", 0.2),
+        skipgram_size=cfg.get("skipgram_size", 3))
+
+    host, nhosts = jax.process_index(), jax.process_count()
+    readers = {}  # name -> DistLineReader, for the checkpointable data cursor
+    data_state_path = os.path.join(args.output_dir, "data_state.json")
+    resume_data_state = {}
+    if args.resume and os.path.exists(data_state_path):
+        with open(data_state_path) as f:
+            resume_data_state = json.load(f)
+        print(f"### resumed data cursors: {resume_data_state}")
+
+    def make_reader(name, paths):
+        reader = DistLineReader(paths, rank=host, world_size=nhosts,
+                                start_state=resume_data_state.get(name))
+        readers[name] = reader
+        return reader
+
+    def image_stream_for(name, paths, icfg):
+        """Image-text batches; multilingual captions when `languages` is
+        configured (CCLM, reference pretrain_dataset_multilingual.py:174-203)."""
+        reader = make_reader(name, paths)
+        kw = dict(image_key=icfg.get("image_key", "binary"),
+                  caption_key=icfg.get("caption_key", "caption"),
+                  is_image_rpath=icfg.get("is_image_rpath", False))
+        if icfg.get("languages"):
+            stream = ImageMultiTextStream(
+                reader, pre, T.pretrain_transform(cfg["image_res"]),
+                languages=icfg["languages"], **kw)
+        else:
+            stream = ImageTextStream(
+                reader, pre, T.pretrain_transform(cfg["image_res"]), **kw)
+
+        def batches():
+            yield from iter_batches(iter(stream), icfg.get("batch_size", 128))
+
+        return batches()
+
+    icfg = dict(cfg.get("images", {}))
+    icfg.setdefault("caption_key", "desc")
+    streams = {"image": image_stream_for("image", cfg["train_file"], icfg)}
+
+    if cfg.get("train_file_aux"):
+        # clean-data stream drawn with prob aux_iter_perc in place of the
+        # noisy image batch (reference Pretrain.py:330-341,
+        # x2vlm_base_1b.yaml:18)
+        aux_cfg = dict(icfg)
+        aux_cfg["caption_key"] = icfg.get("aux_caption_key",
+                                          icfg.get("caption_key", "caption"))
+        streams["aux"] = image_stream_for("aux", cfg["train_file_aux"], aux_cfg)
+
+    rcfg = cfg.get("regions")
+    if rcfg and cfg.get("train_file_regions"):
+        # every leading batch dim must divide the device count for sharding;
+        # round max_images up (reference uses 50 per GPU — here the host batch
+        # spans all local chips)
+        n_dev = jax.device_count()
+        rcfg = dict(rcfg)
+        rcfg["max_images"] = -(-rcfg.get("max_images", 50) // n_dev) * n_dev
+        assert rcfg.get("batch_size", 128) % n_dev == 0, \
+            "regions.batch_size must divide the device count"
+
+        def region_batches():
+            reader = make_reader("region", cfg["train_file_regions"])
+            kw = dict(image_res=cfg["image_res"],
+                      patch_size=cfg.get("patch_size", 16),
+                      max_regions=rcfg.get("max_regions", 5),
+                      min_perc_in_image=rcfg.get("min_perc_in_image", 0.5),
+                      careful_hflip=rcfg.get("careful_hflip", True),
+                      image_key=rcfg.get("image_key", "binary"))
+            if rcfg.get("languages"):
+                stream = RegionMultiTextStream(
+                    reader, pre, T.box_transform(),
+                    languages=rcfg["languages"],
+                    code_switch=rcfg.get("code_switch", True), **kw)
+            else:
+                stream = RegionTextStream(reader, pre, T.box_transform(), **kw)
+            it = iter(stream)
+            while True:
+                samples = [next(it) for _ in range(rcfg.get("max_images", 50))]
+                yield region_collate(samples, rcfg.get("batch_size", 128),
+                                     rcfg.get("max_images", 50))
+
+        streams["region"] = region_batches()
+
+    vcfg = cfg.get("videos")
+    if vcfg and cfg.get("train_file_videos"):
+        from x2vlm_tpu.data.pretrain import VideoTextStream
+
+        def video_batches(name, paths):
+            reader = make_reader(name, paths)
+            stream = VideoTextStream(
+                reader, pre, T.pretrain_transform(cfg["image_res"]),
+                frame_len=cfg.get("frame_len", 3),
+                frames_key=vcfg.get("frames_key", "frames"),
+                caption_key=vcfg.get("caption_key", "caption"),
+                is_image_rpath=vcfg.get("is_image_rpath", False))
+            yield from iter_batches(iter(stream), vcfg.get("batch_size", 40))
+
+        streams["video"] = video_batches("video", cfg["train_file_videos"])
+        if cfg.get("train_file_videos_aux"):
+            streams["video_aux"] = video_batches(
+                "video_aux", cfg["train_file_videos_aux"])
+
+    tcfg = cfg.get("texts")
+    if tcfg and cfg.get("train_file_text"):
+        def text_batches():
+            reader = make_reader("text", cfg["train_file_text"])
+            stream = TextStream(reader, pre,
+                                caption_key=tcfg.get("caption_key", "text"))
+            yield from iter_batches(iter(stream), tcfg.get("batch_size", 128))
+
+        streams["text"] = text_batches()
+
+    mcfg_streams = cfg.get("mtexts")
+    if mcfg_streams and cfg.get("train_file_mtext"):
+        from x2vlm_tpu.models.xvlm_plus import XVLMPlusForPretrain
+
+        assert isinstance(model, XVLMPlusForPretrain), \
+            "parallel-text (mtexts) pretraining needs model_type: cclm/xvlm_plus"
+        # CCLM parallel-text TTC/TTM/TLM (reference Pretrain.py:238-247,
+        # multilingual_cclm_x2vlm_base.yaml mtexts block)
+        mpre = TextPreprocessor(
+            tokenizer, max_tokens=mcfg_streams.get("max_tokens",
+                                                   cfg.get("max_tokens", 64)),
+            max_words=mcfg_streams.get("max_words",
+                                       mcfg_streams.get("max_tokens",
+                                                        cfg.get("max_words", 64))),
+            max_masks=mcfg_streams.get("max_masks", cfg.get("max_masks", 12)),
+            mask_prob=mcfg_streams.get("mask_prob", cfg.get("mask_prob", 0.5)),
+            mask_whole_word=cfg.get("mask_whole_word", True),
+            skipgram_prb=cfg.get("skipgram_prb", 0.2),
+            skipgram_size=cfg.get("skipgram_size", 3))
+
+        def mtext_batches():
+            reader = make_reader("mtext", cfg["train_file_mtext"])
+            stream = ParaTextStream(
+                reader, mpre,
+                key_a=mcfg_streams.get("source_key", "text1"),
+                key_b=mcfg_streams.get("target_key", "text2"))
+            yield from iter_batches(iter(stream),
+                                    mcfg_streams.get("batch_size", 128))
+
+        streams["mtext"] = mtext_batches()
+
+    with mesh_lib.global_mesh(mesh):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "dropout": jax.random.PRNGKey(args.seed + 1)},
+            pretrain_init_inputs(mcfg), rng=jax.random.PRNGKey(0),
+            ret_bbox_loss=True)
+        variables, missing = load_initial_params(args, cfg, model, variables)
+
+        sched_cfg = cfg.get("schedular", {})
+        steps_per_epoch = cfg.get("train_dataset_size", 10 ** 6) // (
+            cfg.get("images", {}).get("batch_size", 128) * max(nhosts, 1))
+        total_steps = steps_per_epoch * sched_cfg.get("epochs", 3)
+        tx = make_optimizer(cfg, variables["params"], total_steps,
+                            fusion_layer=mcfg.text.fusion_layer,
+                            fresh_paths=missing)
+        state = create_train_state(variables, tx)
+        state, start_step = maybe_resume(args, state)
+        state = apply_fsdp(state, mesh)
+
+        ps = PretrainStreams(
+            image=streams["image"], region=streams.get("region"),
+            video=streams.get("video"), text=streams.get("text"),
+            mtext=streams.get("mtext"), aux=streams.get("aux"),
+            video_aux=streams.get("video_aux"),
+            image_weight=(cfg.get("images") or {}).get("iter_perc", 1.0),
+            region_weight=(cfg.get("regions") or {}).get("iter_perc", 1.0),
+            video_weight=(cfg.get("videos") or {}).get("iter_perc", 1.0),
+            text_weight=(cfg.get("texts") or {}).get("iter_perc", 1.0),
+            mtext_weight=(cfg.get("mtexts") or {}).get("iter_perc", 1.0),
+            aux_perc=cfg.get("aux_iter_perc", 0.0),
+            video_aux_perc=cfg.get("video_aux_iter_perc", 0.0),
+            regions_use_bbox_only=cfg.get("regions_use_bbox_only", False),
+            rng=random.Random(args.seed))
+
+        def checkpoint_fn(state, step):
+            ckpt_lib.save_train_state(
+                os.path.join(args.output_dir, "ckpt"), state, step)
+            # persist the data cursor next to the model state so --resume
+            # continues mid-epoch (DistLineReader.state; the reference
+            # restarts its data from zero)
+            tmp = data_state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({k: r.state() for k, r in readers.items()}, f)
+            os.replace(tmp, data_state_path)
+
+        state = pretrain_loop(
+            model, state, tx, ps, num_steps=total_steps,
+            start_step=start_step,
+            rng_key=jax.random.PRNGKey(args.seed),
+            shard_fn=mesh_lib.shard_batch,
+            stop_calc_itm_after=cfg.get("stop_calc_itm", None),
+            checkpoint_fn=checkpoint_fn,
+            checkpoint_every=cfg.get("ckpt_frequent_step", 50000))
 
 
 def main(argv=None):
@@ -583,17 +741,27 @@ def main(argv=None):
     cfg, mesh = setup(args)
     t0 = time.time()
     runners = {
+        "pretrain": lambda a, c, m: run_pretrain(a, c, m),
         "retrieval": run_retrieval,
-        "pretrain": run_pretrain,
-        "nlvr": run_nlvr,
-        "grounding": run_grounding,
+        "xretrieval": run_retrieval,
+        "wit": run_retrieval,
+        "xflickrco": run_retrieval,
+        "video_retrieval": run_retrieval,
         "vqa": run_vqa,
+        "xgqa": run_vqa,
+        "nlvr": run_nlvr,
+        "marvl": run_nlvr,
+        "grounding": run_grounding,
         "captioning": run_captioning,
         "classification": run_classification,
+        "xvnli": run_classification,
+        "video_qa": run_classification,
     }
-    if args.task not in runners:
-        raise SystemExit(f"task {args.task!r}: no CLI runner yet")
-    runners[args.task](args, cfg, mesh)
+    runner = runners[args.task]
+    if args.task == "pretrain":
+        runner(args, cfg, mesh)
+    else:
+        runner(args, cfg, mesh, task=args.task)
     print(f"total time: {time.time() - t0:.0f}s")
 
 

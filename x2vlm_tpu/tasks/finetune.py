@@ -33,6 +33,7 @@ def train_epochs(
     *,
     num_epochs: int,
     rng_key,
+    start_epoch: int = 0,
     use_mesh: bool = False,
     eval_fn: Optional[Callable] = None,
     metric_key: Optional[str] = None,
@@ -40,10 +41,11 @@ def train_epochs(
     save_fn: Optional[Callable] = None,
     log_every: int = 50,
 ) -> TrainState:
-    """Run epochs; after each, optionally evaluate, log, and keep the best
-    checkpoint by `metric_key` (reference "best" tracking, Retrieval.py:363-396)."""
+    """Run epochs from ``start_epoch`` (resume); after each, optionally
+    evaluate, log, and keep the best checkpoint by `metric_key` (reference
+    "best" tracking, Retrieval.py:363-396)."""
     best = float("-inf")
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         logger = MetricLogger()
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)

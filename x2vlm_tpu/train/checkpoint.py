@@ -14,6 +14,7 @@ Unlike the reference (which saves optimizer state but never restores it —
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Dict, Optional
 
@@ -486,14 +487,38 @@ def convert_clip_vit_checkpoint(sd: Dict[str, np.ndarray], *, depth: int
     return tree, sorted(set(norm) - used)
 
 
+def _interp_swin_rel_pos_table(table: np.ndarray, dst_window: int
+                               ) -> np.ndarray:
+    """Resize a Swin relative-position bias table from its (2*sw-1)² lattice
+    to (2*dw-1)² (reference relative_position_bias_table_resize uses bicubic
+    F.interpolate, swin_transformer.py:61-77; Swin tables have no cls rows)."""
+    rows, heads = table.shape
+    src = int(round(math.isqrt(rows)))
+    dst = 2 * dst_window - 1
+    if src == dst:
+        return table
+    body = jnp.asarray(table.reshape(src, src, heads))
+    resized = jax.image.resize(body, (dst, dst, heads), "cubic")
+    return np.asarray(resized).reshape(dst * dst, heads)
+
+
 def convert_swin_checkpoint(sd: Dict[str, np.ndarray], *,
-                            depths: tuple) -> Dict[str, Any]:
+                            depths: tuple,
+                            dst_window: Optional[int] = None
+                            ) -> Dict[str, Any]:
     """Import a Swin checkpoint (timm layout: ``layers.{s}.blocks.{b}...``)
     into the SwinTransformer tree (reference load_pretrained_swin,
-    swin_transformer.py:17-114; rel-pos tables interpolate on window change —
-    here tables must match the configured window)."""
+    swin_transformer.py:17-114). ``dst_window`` bicubically interpolates the
+    per-block relative-position bias tables when the target window differs
+    (reference swin_transformer.py:61-77,698) — e.g. fine-tuning a
+    window-7/224px checkpoint at window-12/384px."""
     tree: Dict[str, Any] = {}
     used = set()
+
+    def maybe_interp(table):
+        if dst_window is not None:
+            return _interp_swin_rel_pos_table(table, dst_window)
+        return table
 
     def take(key):
         used.add(key)
@@ -523,7 +548,7 @@ def convert_swin_checkpoint(sd: Dict[str, np.ndarray], *,
             _set(tree, f"{q}/attn/proj/kernel", _t(take(f"{p}.attn.proj.weight")))
             _set(tree, f"{q}/attn/proj/bias", take(f"{p}.attn.proj.bias"))
             _set(tree, f"{q}/attn/rel_pos_table",
-                 take(f"{p}.attn.relative_position_bias_table"))
+                 maybe_interp(take(f"{p}.attn.relative_position_bias_table")))
             used.add(f"{p}.attn.relative_position_index")
             _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{p}.mlp.fc1.weight")))
             _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.mlp.fc1.bias"))

@@ -128,8 +128,13 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_grad_fn(model, *, loss_weights=None, apply_kwargs=None) -> Callable:
-    """Per-stream gradient computation (for multi-stream accumulation)."""
+def make_grad_fn(model, *, loss_weights=None, loss_scale: float = 1.0,
+                 apply_kwargs=None) -> Callable:
+    """Per-stream gradient computation (for multi-stream accumulation).
+
+    ``loss_scale`` multiplies the whole stream's loss — the reference's
+    per-stream ``iter_perc`` loss weight (Pretrain.py:196-242). Reported
+    losses stay unscaled, matching the reference's metric logging."""
     apply_kwargs = dict(apply_kwargs or {})
 
     @jax.jit
@@ -139,7 +144,7 @@ def make_grad_fn(model, *, loss_weights=None, apply_kwargs=None) -> Callable:
         def loss_fn(p):
             losses = model.apply({"params": p}, batch, rng=rng_itm,
                                  rngs={"dropout": rng_drop}, **apply_kwargs)
-            return _total_loss(losses, loss_weights), losses
+            return loss_scale * _total_loss(losses, loss_weights), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         losses["loss_total"] = total
