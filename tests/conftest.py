@@ -23,6 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# re-compiling the same tiny jitted models every run; cache survives across
+# pytest invocations (safe to delete /tmp/x2vlm_jax_cache any time).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("X2VLM_JAX_CACHE", "/tmp/x2vlm_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
