@@ -10,11 +10,11 @@ from x2vlm_tpu.ops.attention import dot_product_attention, make_attention_mask
 
 
 def _reference_attention(q, k, v, bias=None, key_mask=None, causal=False, scale=None):
-    """Straightforward numpy reference."""
-    B, Sq, H, D = q.shape
-    Skv = k.shape[1]
+    """Straightforward numpy reference (bhsd layout)."""
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
     scale = scale or D ** -0.5
-    logits = np.einsum("bqhd,bkhd->bhqk", q, k).astype(np.float64) * scale
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64) * scale
     if bias is not None:
         logits = logits + bias
     if key_mask is not None:
@@ -25,7 +25,7 @@ def _reference_attention(q, k, v, bias=None, key_mask=None, causal=False, scale=
     logits -= logits.max(axis=-1, keepdims=True)
     p = np.exp(logits)
     p /= p.sum(axis=-1, keepdims=True)
-    return np.einsum("bhqk,bkhd->bqhd", p, v)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -33,9 +33,9 @@ def _reference_attention(q, k, v, bias=None, key_mask=None, causal=False, scale=
 @pytest.mark.parametrize("with_mask", [False, True])
 def test_xla_attention_matches_reference(rng, causal, with_bias, with_mask):
     B, Sq, Skv, H, D = 2, 12, 12, 3, 8
-    q = rng.standard_normal((B, Sq, H, D)).astype(np.float32)
-    k = rng.standard_normal((B, Skv, H, D)).astype(np.float32)
-    v = rng.standard_normal((B, Skv, H, D)).astype(np.float32)
+    q = rng.standard_normal((B, H, Sq, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, Skv, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, Skv, D)).astype(np.float32)
     bias = rng.standard_normal((1, H, Sq, Skv)).astype(np.float32) if with_bias else None
     key_mask = (rng.random((B, Skv)) > 0.3) if with_mask else None
     if key_mask is not None:
@@ -52,11 +52,11 @@ def test_xla_attention_matches_reference(rng, causal, with_bias, with_mask):
 
 
 def test_cross_attention_different_lengths(rng):
-    q = jnp.asarray(rng.standard_normal((2, 5, 4, 16)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((2, 37, 4, 16)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((2, 37, 4, 16)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((2, 4, 5, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 37, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 37, 16)).astype(np.float32))
     out = dot_product_attention(q, k, v, impl="xla")
-    assert out.shape == (2, 5, 4, 16)
+    assert out.shape == (2, 4, 5, 16)
 
 
 def test_make_attention_mask_causal_cache_offset():
@@ -89,9 +89,9 @@ for (Sq, Skv, causal, with_bias, with_mask) in [
     (256, 256, True, False, False),   # causal
     (130, 130, True, True, False),    # causal + bias, unaligned
 ]:
-    q = jnp.asarray(rng.standard_normal((B, Sq, H, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((1, H, Sq, Skv)).astype(np.float32)) if with_bias else None
     km = jnp.asarray(rng.random((B, Skv)) > 0.2) if with_mask else None
     if km is not None:

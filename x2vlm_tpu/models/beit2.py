@@ -186,8 +186,12 @@ class BEiT2(nn.Module):
                 f"rel_pos_table_{i}", nn.initializers.zeros,
                 (cfg.num_relative_distance, cfg.num_heads), jnp.float32,
             )
-            # (S+1, S+1, H) gather → (1, H, S+1, S+1) additive bias.
+            # (S+1, S+1, H) gather → (1, H, S+1, S+1) additive bias, emitted
+            # in compute dtype: the flash kernel streams it per KV block, and
+            # bf16 halves its HBM traffic (the kernel upcasts to fp32 before
+            # the add; the table param itself stays fp32).
             bias = jnp.transpose(table[rel_index], (2, 0, 1))[None]
+            bias = bias.astype(self.dtype)
             x = block_cls(cfg, drop_path=float(dpr[i]), dtype=self.dtype,
                           name=f"block_{i}")(x, bias, deterministic)
 

@@ -71,9 +71,9 @@ class XVLMForMLMCaptioning(nn.Module):
         cfg = self.config.text
         head_dim = cfg.hidden_size // cfg.num_heads
         return [
-            {"k": jnp.zeros((batch_size, max_len, cfg.num_heads, head_dim),
+            {"k": jnp.zeros((batch_size, cfg.num_heads, max_len, head_dim),
                             self.dtype),
-             "v": jnp.zeros((batch_size, max_len, cfg.num_heads, head_dim),
+             "v": jnp.zeros((batch_size, cfg.num_heads, max_len, head_dim),
                             self.dtype),
              "index": jnp.asarray(0, jnp.int32)}
             for _ in range(cfg.num_layers)

@@ -214,8 +214,8 @@ def sample_generate(model: "XVLMForVQA", variables, batch, *, max_length: int,
     q_atts = batch["question_atts"]
 
     cache = [
-        {"k": jnp.zeros((B, max_length, tcfg.num_heads, head_dim), jnp.bfloat16),
-         "v": jnp.zeros((B, max_length, tcfg.num_heads, head_dim), jnp.bfloat16),
+        {"k": jnp.zeros((B, tcfg.num_heads, max_length, head_dim), jnp.bfloat16),
+         "v": jnp.zeros((B, tcfg.num_heads, max_length, head_dim), jnp.bfloat16),
          "index": jnp.asarray(0, jnp.int32)}
         for _ in range(model.num_dec_layers)
     ]

@@ -45,11 +45,13 @@ class PerceiverAttention(nn.Module):
         S = k.shape[-2]
 
         def split(t, n):
-            return t.reshape(B * T, n, self.num_heads, self.head_dim)
+            # bhsd layout for the attention core
+            return t.reshape(B * T, n, self.num_heads,
+                             self.head_dim).transpose(0, 2, 1, 3)
 
         out = dot_product_attention(split(q, L), split(k, S), split(v, S),
                                     impl="xla")
-        out = out.reshape(B, T, L, inner)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, L, inner)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="to_out")(out)
 

@@ -113,9 +113,10 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(nB, N, self.num_heads, head_dim)
-        k = k.reshape(nB, N, self.num_heads, head_dim)
-        v = v.reshape(nB, N, self.num_heads, head_dim)
+        # (nB, N, H, D) → (nB, H, N, D): the attention core's bhsd layout
+        q = q.reshape(nB, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(nB, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(nB, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         table = self.param("rel_pos_table", nn.initializers.truncated_normal(0.02),
                            ((2 * self.window - 1) ** 2, self.num_heads),
@@ -131,7 +132,7 @@ class WindowAttention(nn.Module):
                 bias, (nB, self.num_heads, N, N)), impl="xla")
         else:
             out = dot_product_attention(q, k, v, bias=bias, impl="xla")
-        out = out.reshape(nB, N, self.dim)
+        out = out.transpose(0, 2, 1, 3).reshape(nB, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
 

@@ -11,14 +11,19 @@ models/clip_vit.py:252-335, models/swin_transformer.py:167-263):
 - boolean key masks (text padding, per-region patch bitmaps)
 - causal masking + incremental decode cache (UniLM caption decoding)
 
-Layout: q (B, Sq, H, D); k, v (B, Skv, H, D); bias broadcastable to
-(B, H, Sq, Skv); key_mask (B, Skv), True=attend; or an explicit full mask
-(B, 1|H, Sq, Skv).
+Layout: **(B, H, S, D)** — the TPU-native attention layout. q (B, H, Sq, D);
+k, v (B, H, Skv, D); bias broadcastable to (B, H, Sq, Skv); key_mask (B, Skv),
+True=attend; or an explicit full mask (B, 1|H, Sq, Skv). Output (B, H, Sq, D).
+
+Callers produce this layout straight out of the QKV projections (reshape +
+transpose fused into the projection matmul by XLA) — a standalone
+(B,S,H,D)→(B,H,S,D) transpose of a 38 MB activation costs ~1 ms on v5e and
+used to dominate the 224px encode when the Pallas kernel forced it.
 
 Dispatch: the Pallas flash kernel (ops/flash_attention.py) is used on TPU for
-long sequences (image streams up to 2304 patches at 768px); the XLA path is
-used for short text sequences (<=64 tokens, where flash tiling overhead loses)
-and on CPU test backends. Both paths compute softmax in fp32.
+image-stream-length sequences (197 @224px up to 2304 patches @768px); the XLA
+path is used for short text sequences (<=64 tokens, where flash tiling
+overhead loses) and on CPU test backends. Both paths compute softmax in fp32.
 """
 
 from __future__ import annotations
@@ -66,13 +71,15 @@ def dot_product_attention(
     deterministic: bool = True,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Scaled dot-product attention. Returns (B, Sq, H, D).
+    """Scaled dot-product attention over (B, H, S, D) tensors.
+
+    Returns (B, H, Sq, D).
 
     `impl`: "auto" | "xla" | "flash". "auto" picks the flash kernel on TPU when
     the variant is supported (no explicit full `mask`, no active dropout) and
     the sequence is long enough to benefit.
     """
-    B, Sq, H, D = q.shape
+    B, H, Sq, D = q.shape
     if scale is None:
         scale = D ** -0.5
 
@@ -90,7 +97,7 @@ def dot_product_attention(
 
     # XLA path — softmax in fp32; XLA fuses the elementwise chain into the matmuls.
     out_dtype = q.dtype
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -101,4 +108,4 @@ def dot_product_attention(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
     probs = probs.astype(out_dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)

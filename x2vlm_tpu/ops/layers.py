@@ -133,22 +133,26 @@ class MultiHeadAttention(nn.Module):
         k = dense(bk, "key")(kv_src)
         v = dense(bv, "value")(kv_src)
 
-        q = q.reshape(B, Sq, self.num_heads, head_dim)
-        k = k.reshape(B, k.shape[1], self.num_heads, head_dim)
-        v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
+        # (B, S, inner) → (B, H, S, D): the TPU-native attention layout. The
+        # reshape+transpose fuses into the projection matmul's output — a
+        # standalone transpose of the activation costs ~1 ms at 224px/B=128
+        # and used to dominate the flash path.
+        q = q.reshape(B, Sq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, k.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, v.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         if cache is not None:
             # Static-shape incremental decode (replaces the reference's
             # history_states concatenation, xbert.py:349-353, whose growing
-            # shapes would force a recompile per step on TPU): fixed (B, Lmax)
-            # K/V buffers, new projections written at cache["index"], queries
-            # masked to attend positions <= index + own offset.
+            # shapes would force a recompile per step on TPU): fixed
+            # (B, H, Lmax, D) K/V buffers, new projections written at
+            # cache["index"], queries masked to positions <= index + offset.
             index = cache["index"]
             k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                             (0, index, 0, 0))
+                                             (0, 0, index, 0))
             v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                             (0, index, 0, 0))
-            Lmax = k.shape[1]
+                                             (0, 0, index, 0))
+            Lmax = k.shape[2]
             kv_pos = jnp.arange(Lmax)[None, None, None, :]
             q_pos = (index + jnp.arange(Sq))[None, None, :, None]
             mask = kv_pos <= q_pos  # (1, 1, Sq, Lmax)
@@ -169,7 +173,8 @@ class MultiHeadAttention(nn.Module):
             deterministic=deterministic,
             impl=impl,
         )
-        out = out.reshape(B, Sq, inner)
+        # (B, H, Sq, D) → (B, Sq, inner); fuses into the output projection.
+        out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)
         if self.proj_dropout_rate > 0.0:
             out = nn.Dropout(self.proj_dropout_rate)(out, deterministic=deterministic)
