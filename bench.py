@@ -54,15 +54,32 @@ def bench_pretrain_step():
     tx = create_optimizer(variables["params"], lr_schedule(1e-4, 1000, 100))
     state = create_train_state(variables, tx)
     step = make_train_step(model, tx, donate=False)
-    state, metrics = step(state, batch, jax.random.PRNGKey(3))
-    _ = float(metrics["loss_total"])  # sync (compile + warm)
+
+    # Chain N full steps inside ONE jitted scan: per-step time is then pure
+    # device time — host-timed single steps include the tunnel's per-call
+    # overhead (~tens of ms), which once inflated this metric (CLAUDE.md).
+    STEPS = 5
+
+    @jax.jit
+    def multi(state, batch, key):
+        def body(st, i):
+            b = dict(batch,
+                     image=batch["image"] + (i.astype(jnp.float32) * 1e-6
+                                             ).astype(jnp.bfloat16))
+            st, metrics = step(st, b, jax.random.fold_in(key, i))
+            return st, metrics["loss_total"]
+        st, losses = jax.lax.scan(body, state, jnp.arange(STEPS))
+        return st, losses[-1]
+
+    state, last = multi(state, batch, jax.random.PRNGKey(3))
+    _ = float(last)  # sync (compile + warm)
     times = []
-    for r in range(4):
+    for r in range(3):
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, jax.random.PRNGKey(4 + r))
-        _ = float(metrics["loss_total"])
+        state, last = multi(state, batch, jax.random.PRNGKey(4 + r))
+        _ = float(last)
         times.append(time.perf_counter() - t0)
-    step_s = min(times)
+    step_s = min(times) / STEPS
     print(json.dumps({
         "metric": "pretrain_step_time_base_b32",
         "value": round(step_s * 1000, 1),

@@ -181,19 +181,27 @@ class BEiT2(nn.Module):
         # the reference's unused gradient-checkpointing flag, xbert.py:700-724)
         block_cls = nn.remat(BEiT2Block, static_argnums=(3,)) if cfg.remat \
             else BEiT2Block
+
+        # All depth × H bias tables gathered in ONE wide gather (and one
+        # scatter-add in backward): 12 per-layer (40k-row, 12-col) gathers ran
+        # at ~2.1 ms fwd + 3.5 ms scatter bwd per step on v5e — TPU gathers
+        # are index-bound, so one 144-wide gather amortizes them. Emitted in
+        # compute dtype: the flash kernel streams the bias per KV block and
+        # bf16 halves its HBM traffic (the table params stay fp32).
+        tables = [
+            self.param(f"rel_pos_table_{i}", nn.initializers.zeros,
+                       (cfg.num_relative_distance, cfg.num_heads), jnp.float32)
+            for i in range(cfg.depth)
+        ]
+        stacked = jnp.concatenate(tables, axis=-1)       # (nrel, depth*H)
+        gathered = stacked[rel_index]                    # (S+1, S+1, depth*H)
+        S1 = gathered.shape[0]
+        biases = jnp.transpose(gathered, (2, 0, 1)).reshape(
+            cfg.depth, 1, cfg.num_heads, S1, S1).astype(self.dtype)
+
         for i in range(cfg.depth):
-            table = self.param(
-                f"rel_pos_table_{i}", nn.initializers.zeros,
-                (cfg.num_relative_distance, cfg.num_heads), jnp.float32,
-            )
-            # (S+1, S+1, H) gather → (1, H, S+1, S+1) additive bias, emitted
-            # in compute dtype: the flash kernel streams it per KV block, and
-            # bf16 halves its HBM traffic (the kernel upcasts to fp32 before
-            # the add; the table param itself stays fp32).
-            bias = jnp.transpose(table[rel_index], (2, 0, 1))[None]
-            bias = bias.astype(self.dtype)
             x = block_cls(cfg, drop_path=float(dpr[i]), dtype=self.dtype,
-                          name=f"block_{i}")(x, bias, deterministic)
+                          name=f"block_{i}")(x, biases[i], deterministic)
 
         # use_mean_pooling contract: final norm is identity; fc_norm over patches;
         # "cls" output token = mean over patch tokens (reference beit2.py:409-416).

@@ -135,11 +135,12 @@ class BertLayer(nn.Module):
         x,
         attention_mask=None,            # (B, S) 1=keep
         attention_matrix=None,          # (B, Sq, Skv) full mask (UniLM tril)
-        encoder_hidden_states=None,     # (B, S_img, encoder_width)
+        encoder_hidden_states=None,     # (B_u, S_img, encoder_width)
         encoder_attention_mask=None,    # (B, S_img)
         causal: bool = False,
         cache=None,                     # {"k","v","index"} self-attn KV cache
         deterministic: bool = True,
+        encoder_gather_idx=None,        # (B,) row of encoder_hidden_states per query row
     ):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
@@ -180,7 +181,8 @@ class BertLayer(nn.Module):
                 dtype=self.dtype,
                 name="cross_attn",
             )(x, kv=encoder_hidden_states.astype(self.dtype),
-              key_mask=encoder_attention_mask, deterministic=deterministic)
+              key_mask=encoder_attention_mask,
+              kv_gather_idx=encoder_gather_idx, deterministic=deterministic)
             x = ln("cross_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
 
         h = Mlp(hidden_dim=cfg.intermediate_size, act=ACTIVATIONS[cfg.act],
@@ -230,6 +232,7 @@ class BertEncoder(nn.Module):
         causal: bool = False,
         cache=None,                # list[dict] per executed layer, or None
         deterministic: bool = True,
+        encoder_gather_idx=None,   # unique-KV dedup (see BertLayer)
     ):
         cfg = self.config
         if mode == "fusion":
@@ -253,6 +256,7 @@ class BertEncoder(nn.Module):
             out = layer(
                 x, attention_mask, attention_matrix, encoder_hidden_states,
                 encoder_attention_mask, causal, layer_cache, deterministic,
+                encoder_gather_idx,
             )
             if layer_cache is not None:
                 x, layer_new_cache = out

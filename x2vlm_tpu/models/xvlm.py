@@ -174,20 +174,23 @@ class XVLMBase(nn.Module):
 
     def get_cross_embeds(self, image_embeds, image_atts, text_ids=None,
                          text_embeds=None, text_atts=None,
-                         deterministic: bool = True):
+                         deterministic: bool = True,
+                         encoder_gather_idx=None):
         assert text_atts is not None
         if text_embeds is not None:
             return self.text_encoder(
                 encoder_embeds=text_embeds, attention_mask=text_atts,
                 encoder_hidden_states=image_embeds,
                 encoder_attention_mask=image_atts,
-                mode="fusion", deterministic=deterministic)
+                mode="fusion", deterministic=deterministic,
+                encoder_gather_idx=encoder_gather_idx)
         assert text_ids is not None
         return self.text_encoder(
             text_ids, attention_mask=text_atts,
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
-            mode="multi_modal", deterministic=deterministic)
+            mode="multi_modal", deterministic=deterministic,
+            encoder_gather_idx=encoder_gather_idx)
 
     def get_features(self, image_embeds=None, text_embeds=None):
         """Normalized CLS projections (fp32)."""
@@ -261,20 +264,23 @@ class XVLMBase(nn.Module):
         image_neg_idx, text_neg_idx = self.get_hard_negatives(
             image_feat, text_feat, rng, idx=idx)
 
-        image_embeds_neg = jnp.take(image_embeds, image_neg_idx, axis=0)
-        image_atts_neg = jnp.take(image_atts, image_neg_idx, axis=0)
         text_embeds_neg = jnp.take(text_embeds, text_neg_idx, axis=0)
         text_atts_neg = jnp.take(text_atts, text_neg_idx, axis=0)
 
         # One batched fusion pass over [pos ‖ (img, text_neg) ‖ (img_neg, text)].
-        image_all = jnp.concatenate([image_embeds, image_embeds, image_embeds_neg], 0)
-        image_atts_all = jnp.concatenate([image_atts, image_atts, image_atts_neg], 0)
+        # Only `bs` unique images exist among the 3·bs rows — the fusion
+        # layers project cross-attention K/V once per unique image and gather
+        # per row (encoder_gather_idx), instead of projecting 3·bs duplicates.
+        gather_idx = jnp.concatenate(
+            [jnp.arange(bs), jnp.arange(bs), image_neg_idx], 0)
+        image_atts_all = jnp.take(image_atts, gather_idx, axis=0)
         text_all = jnp.concatenate([text_embeds, text_embeds_neg, text_embeds], 0)
         text_atts_all = jnp.concatenate([text_atts, text_atts_neg, text_atts], 0)
 
-        cross = self.get_cross_embeds(image_all, image_atts_all,
+        cross = self.get_cross_embeds(image_embeds, image_atts_all,
                                       text_embeds=text_all,
-                                      text_atts=text_atts_all)[:, 0, :]
+                                      text_atts=text_atts_all,
+                                      encoder_gather_idx=gather_idx)[:, 0, :]
         logits = self.itm_head(cross)
         labels = jnp.concatenate(
             [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)], 0)

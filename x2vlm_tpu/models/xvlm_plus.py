@@ -55,7 +55,8 @@ class XVLMPlusBase(XVLMBase):
 
     def get_cross_embeds(self, image_embeds, image_atts, text_ids=None,
                          text_embeds=None, text_atts=None,
-                         deterministic: bool = True):
+                         deterministic: bool = True,
+                         encoder_gather_idx=None):
         assert text_atts is not None
         if text_embeds is None:
             assert text_ids is not None
@@ -65,7 +66,8 @@ class XVLMPlusBase(XVLMBase):
             encoder_embeds=text_embeds, attention_mask=text_atts,
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
-            mode="fusion", deterministic=deterministic)
+            mode="fusion", deterministic=deterministic,
+            encoder_gather_idx=encoder_gather_idx)
 
     def get_mlm_loss(self, text_ids_masked, text_atts, image_embeds, image_atts,
                      masked_pos, masked_ids, deterministic: bool = True):

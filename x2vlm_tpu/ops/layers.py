@@ -115,9 +115,14 @@ class MultiHeadAttention(nn.Module):
         mask=None,
         causal: bool = False,
         cache=None,
+        kv_gather_idx=None,
         deterministic: bool = True,
         impl: str = "auto",
     ):
+        """`kv_gather_idx` (B,) int: `kv` holds only the *unique* KV source
+        rows; K/V are projected once per unique row and gathered out to the
+        query batch. Saves the duplicated cross-attention K/V projections in
+        hard-negative ITM, where 3·B fusion rows share B unique images."""
         B, Sq, C = x.shape
         head_dim = self.head_dim or C // self.num_heads
         inner = head_dim * self.num_heads
@@ -138,8 +143,12 @@ class MultiHeadAttention(nn.Module):
         # standalone transpose of the activation costs ~1 ms at 224px/B=128
         # and used to dominate the flash path.
         q = q.reshape(B, Sq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, k.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, v.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        Bkv = kv_src.shape[0]
+        k = k.reshape(Bkv, k.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(Bkv, v.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        if kv_gather_idx is not None:
+            k = jnp.take(k, kv_gather_idx, axis=0)
+            v = jnp.take(v, kv_gather_idx, axis=0)
 
         if cache is not None:
             # Static-shape incremental decode (replaces the reference's
