@@ -14,6 +14,22 @@ from x2vlm_tpu.models import (
 )
 
 
+def test_plain_vit_shapes(rng):
+    from x2vlm_tpu.models import ViT, ViTConfig
+    cfg = ViTConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=2)
+    model = ViT(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 5, 32)  # [CLS ‖ 4 patches], final-LN'd
+    assert np.isfinite(np.asarray(out)).all()
+    # abs pos embed + cls token exist with the reference's shapes
+    p = params["params"]
+    assert p["pos_embed"].shape == (1, 5, 32)
+    assert p["cls_token"].shape == (1, 1, 32)
+
+
 def test_clip_vit_shapes(rng):
     cfg = CLIPViTConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,
                         num_heads=2, intermediate_size=64)

@@ -113,6 +113,32 @@ def test_classification_and_nlvr(rng):
     assert np.isfinite(float(out["loss_cls"]))
 
 
+def test_classification_kd_teacher_distillation(rng):
+    """answer_pred (teacher logits) switches the loss to KL distillation
+    (reference model_classification.py:65-70); a teacher equal to the student
+    gives ~0 loss, a different teacher gives > 0."""
+    cfg = tiny_cfg()
+    model = XVLMForClassification(cfg, num_labels=3, dtype=jnp.float32)
+    B = 2
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(1, 31, (B, 6)), jnp.int32),
+        "text_atts": jnp.ones((B, 6), jnp.int32),
+        "labels": jnp.asarray([0, 2], jnp.int32),
+    }
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, batch)
+    student_logits = model.apply(v, batch, method=model.predict)
+    out_self = model.apply(v, dict(batch, answer_pred=student_logits),
+                           deterministic=True)
+    assert abs(float(out_self["loss_cls"])) < 1e-5
+    teacher = jnp.asarray(rng.standard_normal((B, 3)) * 3, jnp.float32)
+    out_kd = model.apply(v, dict(batch, answer_pred=teacher),
+                         deterministic=True)
+    assert float(out_kd["loss_cls"]) > 0.0
+    assert np.isfinite(float(out_kd["loss_cls"]))
+
+
 def test_captioning_train_and_beam_search(rng):
     cfg = tiny_cfg()
     model = XVLMForMLMCaptioning(cfg, cls_token_id=2, dtype=jnp.float32)

@@ -7,6 +7,7 @@ from x2vlm_tpu.models.generation import XVLMForVQA, decoder_params_from_text_enc
 from x2vlm_tpu.models.captioning import XVLMForMLMCaptioning, beam_search_generate
 from x2vlm_tpu.models.grounding import XVLMForGrounding
 from x2vlm_tpu.models.clip_vit import CLIPViT, CLIPViTConfig
+from x2vlm_tpu.models.vit import ViT, ViTConfig
 from x2vlm_tpu.models.swin import SwinTransformer, SwinConfig
 from x2vlm_tpu.models.resampler import PerceiverResampler
 from x2vlm_tpu.models.xvlm_plus import (

@@ -29,7 +29,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from x2vlm_tpu.ops.layers import ACTIVATIONS, DropPath, Mlp, MultiHeadAttention, gelu_exact
+from x2vlm_tpu.ops.layers import (
+    ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention, gelu_exact,
+)
 
 __all__ = ["BEiT2Config", "BEiT2", "relative_position_index"]
 
@@ -113,9 +115,10 @@ class BEiT2Block(nn.Module):
     @nn.compact
     def __call__(self, x, rel_pos_bias=None, deterministic: bool = True):
         cfg = self.config
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
-                                       param_dtype=jnp.float32, name=name)
-        h = ln("norm1")(x).astype(self.dtype)
+        # bf16-I/O LayerNorm with fp32 stats + recompute-in-backward (the
+        # stock fp32-materializing path cost ~20 ms/step in fusion traffic)
+        ln = lambda name: FusedLayerNorm(epsilon=cfg.ln_eps, name=name)
+        h = ln("norm1")(x.astype(self.dtype))
         h = MultiHeadAttention(
             num_heads=cfg.num_heads,
             qkv_bias_mode="qv",
@@ -129,7 +132,7 @@ class BEiT2Block(nn.Module):
         x = x + DropPath(self.drop_path, name="dp1")(
             h * gamma_1.astype(self.dtype), deterministic)
 
-        h = ln("norm2")(x).astype(self.dtype)
+        h = ln("norm2")(x.astype(self.dtype))
         h = Mlp(hidden_dim=int(cfg.embed_dim * cfg.mlp_ratio),
                 act=ACTIVATIONS[cfg.act],
                 dropout_rate=cfg.dropout_rate, dtype=self.dtype, name="mlp")(

@@ -30,7 +30,9 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from x2vlm_tpu.ops.layers import ACTIVATIONS, Mlp, MultiHeadAttention, gelu_exact
+from x2vlm_tpu.ops.layers import (
+    ACTIVATIONS, FusedLayerNorm, Mlp, MultiHeadAttention, gelu_exact,
+)
 
 __all__ = ["BertConfig", "BertEncoder", "BertMLMHead"]
 
@@ -143,8 +145,9 @@ class BertLayer(nn.Module):
         encoder_gather_idx=None,        # (B,) row of encoder_hidden_states per query row
     ):
         cfg = self.config
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
-                                       param_dtype=jnp.float32, name=name)
+        # bf16-I/O LayerNorm, fp32 stats, recompute-in-backward (see
+        # ops/layers.FusedLayerNorm)
+        ln = lambda name: FusedLayerNorm(epsilon=cfg.ln_eps, name=name)
 
         attn = MultiHeadAttention(
             num_heads=cfg.num_heads,
@@ -167,7 +170,7 @@ class BertLayer(nn.Module):
         else:
             h = attn(x, key_mask=attention_mask, causal=causal,
                      deterministic=deterministic)
-        x = ln("attn_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
+        x = ln("attn_ln")((x + h).astype(self.dtype))
 
         # Cross-attention is *skipped* (not errored) when no image stream is
         # given — the text-only MLM path runs the full stack uni-modally
@@ -183,12 +186,12 @@ class BertLayer(nn.Module):
             )(x, kv=encoder_hidden_states.astype(self.dtype),
               key_mask=encoder_attention_mask,
               kv_gather_idx=encoder_gather_idx, deterministic=deterministic)
-            x = ln("cross_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
+            x = ln("cross_ln")((x + h).astype(self.dtype))
 
         h = Mlp(hidden_dim=cfg.intermediate_size, act=ACTIVATIONS[cfg.act],
                 dropout_rate=cfg.hidden_dropout, dtype=self.dtype, name="mlp")(
                     x, deterministic=deterministic)
-        x = ln("mlp_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
+        x = ln("mlp_ln")((x + h).astype(self.dtype))
         if new_cache is not None:
             return x, new_cache
         return x

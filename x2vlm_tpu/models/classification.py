@@ -52,6 +52,16 @@ class XVLMForClassification(nn.Module):
         logits = self.logits(batch["text_ids"], batch["text_atts"],
                              image=batch.get("image"),
                              deterministic=deterministic)
+        if batch.get("answer_pred") is not None:
+            # KD: distill a teacher's answer distribution via KL divergence
+            # (reference model_classification.py:65-70 — answer_pred are the
+            # teacher logits; loss = KL(softmax(teacher) ‖ softmax(student)),
+            # summed over classes, averaged over the batch).
+            teacher = batch["answer_pred"].astype(jnp.float32)
+            pt = jax.nn.softmax(teacher, axis=-1)
+            kl = pt * (jax.nn.log_softmax(teacher, axis=-1)
+                       - jax.nn.log_softmax(logits, axis=-1))
+            return {"loss_cls": jnp.sum(kl) / logits.shape[0]}
         labels = batch["labels"]
         if self.num_labels == 1:
             loss = jnp.mean((logits[:, 0] - labels.astype(jnp.float32)) ** 2)

@@ -6,6 +6,7 @@ Precision contract (core/precision.py): parameters are fp32, matmuls run in
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -14,9 +15,67 @@ import jax.numpy as jnp
 
 from x2vlm_tpu.ops.attention import dot_product_attention
 
-__all__ = ["LayerNorm", "Mlp", "DropPath", "MultiHeadAttention", "gelu_exact", "gelu_fast", "ACTIVATIONS"]
+__all__ = ["LayerNorm", "FusedLayerNorm", "Mlp", "DropPath",
+           "MultiHeadAttention", "gelu_exact", "gelu_fast", "ACTIVATIONS"]
 
 Dtype = Any
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm(x, gamma, beta, eps):
+    y, _, _ = _ln_stats(x, gamma, beta, eps)
+    return y
+
+
+def _ln_stats(x, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((xf - mean) * inv * gamma + beta).astype(x.dtype)
+    return y, mean, inv
+
+
+def _ln_fwd(x, gamma, beta, eps):
+    y, mean, inv = _ln_stats(x, gamma, beta, eps)
+    return y, (x, gamma, mean, inv)
+
+
+def _ln_bwd(eps, res, dy):
+    x, gamma, mean, inv = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    xhat = (xf - mean) * inv
+    dgamma = jnp.sum(dyf * xhat, axis=tuple(range(x.ndim - 1)))
+    dbeta = jnp.sum(dyf, axis=tuple(range(x.ndim - 1)))
+    dxhat = dyf * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (inv * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+_layer_norm.defvjp(_ln_fwd, _ln_bwd)
+
+
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with bf16 activations in/out and fp32 statistics/params.
+
+    Identical math to ``nn.LayerNorm(dtype=f32)`` (fast-variance formula,
+    stats in fp32 — the precision contract holds), but the custom VJP saves
+    only (x bf16, mean, inv) and recomputes x̂ in backward: the stock path
+    stashes fp32 activation intermediates for autodiff, which the step trace
+    showed as ~20 ms/step of loop-fusion HBM traffic at b32/224px. Param
+    names/shapes match nn.LayerNorm (scale, bias) for checkpoint parity."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return _layer_norm(x, gamma, beta, self.epsilon)
 
 
 def gelu_exact(x):
