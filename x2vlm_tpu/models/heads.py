@@ -85,21 +85,32 @@ class XVLMForPretrain(nn.Module):
             image_embeds, image_atts = base.get_vision_embeds(
                 image, deterministic=deterministic)
 
-        text_embeds = base.get_text_embeds(text_ids, text_atts,
+        # One text-mode pass covers both the clean text (ITC/ITM) and the
+        # masked text (MLM) — halves the number of tiny-matmul text-layer
+        # calls at pretrain batch sizes.
+        both_ids = jnp.concatenate([text_ids, batch["text_ids_masked"]], 0)
+        both_atts = jnp.concatenate([text_atts, text_atts], 0)
+        both_embeds = base.get_text_embeds(both_ids, both_atts,
                                            deterministic=deterministic)
+        text_embeds, mlm_text_embeds = jnp.split(both_embeds, 2, axis=0)
         image_feat, text_feat = base.get_features(image_embeds, text_embeds)
 
         losses = {"loss_itc": base.get_contrastive_loss(image_feat, text_feat)}
         if ret_match_loss:
-            losses["loss_itm"] = base.get_matching_loss(
+            # fused ITM+MLM: one 4·bs-row fusion pass (see XVLMBase)
+            loss_itm, loss_mlm = base.get_matching_and_mlm_loss(
                 image_embeds, image_atts, image_feat,
-                text_embeds, text_atts, text_feat, rng)
+                text_embeds, text_atts, text_feat,
+                mlm_text_embeds, batch["masked_pos"], batch["masked_ids"],
+                rng, deterministic=deterministic)
+            losses["loss_itm"] = loss_itm
+            losses["loss_mlm"] = loss_mlm
         else:
             losses["loss_itm"] = jnp.asarray(0.0, jnp.float32)
-        losses["loss_mlm"] = base.get_mlm_loss(
-            batch["text_ids_masked"], text_atts, image_embeds, image_atts,
-            batch["masked_pos"], batch["masked_ids"],
-            deterministic=deterministic)
+            losses["loss_mlm"] = base.get_mlm_loss(
+                batch["text_ids_masked"], text_atts, image_embeds, image_atts,
+                batch["masked_pos"], batch["masked_ids"],
+                deterministic=deterministic)
 
         if ret_bbox_loss:
             output_coord = base.predict_bbox(image_embeds_fullatts, text_embeds,

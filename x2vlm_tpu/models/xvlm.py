@@ -291,6 +291,46 @@ class XVLMBase(nn.Module):
             return self.text_encoder.embeddings.table
         return None
 
+    def get_matching_and_mlm_loss(self, image_embeds, image_atts, image_feat,
+                                  text_embeds, text_atts, text_feat,
+                                  mlm_text_embeds, masked_pos, masked_ids, rng,
+                                  idx=None, deterministic: bool = True):
+        """ITM + MLM through ONE fusion pass (4·bs rows) instead of two
+        (3·bs + bs): at pretrain batch sizes the fusion layers' tiny
+        (Sq=40-ish) attention matmuls pay a fixed per-batched-element MXU
+        cost, so fewer+bigger calls win. Same math as get_matching_loss +
+        get_mlm_loss run separately (mode='multi_modal' ≡ text half then
+        fusion half); `mlm_text_embeds` is the text-mode encoding of
+        text_ids_masked. Cross-attention K/V are projected once per unique
+        image and gathered per row (encoder_gather_idx)."""
+        bs = image_embeds.shape[0]
+        image_neg_idx, text_neg_idx = self.get_hard_negatives(
+            image_feat, text_feat, rng, idx=idx)
+        text_embeds_neg = jnp.take(text_embeds, text_neg_idx, axis=0)
+        text_atts_neg = jnp.take(text_atts, text_neg_idx, axis=0)
+
+        ar = jnp.arange(bs)
+        gather_idx = jnp.concatenate([ar, ar, image_neg_idx, ar], 0)
+        image_atts_all = jnp.take(image_atts, gather_idx, axis=0)
+        text_all = jnp.concatenate(
+            [text_embeds, text_embeds_neg, text_embeds, mlm_text_embeds], 0)
+        text_atts_all = jnp.concatenate(
+            [text_atts, text_atts_neg, text_atts, text_atts], 0)
+
+        cross = self.get_cross_embeds(
+            image_embeds, image_atts_all, text_embeds=text_all,
+            text_atts=text_atts_all, encoder_gather_idx=gather_idx,
+            deterministic=deterministic)
+        itm_logits = self.itm_head(cross[:3 * bs, 0, :])
+        itm_labels = jnp.concatenate(
+            [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)], 0)
+        loss_itm = cross_entropy(itm_logits, itm_labels)
+
+        mlm_logits = self.mlm_head(cross[3 * bs:], masked_pos=masked_pos,
+                                   embedding_table=self._tied_table())
+        loss_mlm = cross_entropy(mlm_logits, masked_ids)
+        return loss_itm, loss_mlm
+
     def get_mlm_loss(self, text_ids_masked, text_atts, image_embeds, image_atts,
                      masked_pos, masked_ids, deterministic: bool = True):
         cross = self.get_cross_embeds(
