@@ -14,6 +14,43 @@ from x2vlm_tpu.models import (
 )
 
 
+def test_int8_quant_dense_parity(rng):
+    """QDense (W8A8 dynamic int8) is param-compatible with nn.Dense and its
+    output stays within the expected quantization error."""
+    import flax.linen as nn
+    from x2vlm_tpu.ops.quant import QDense
+
+    x = jnp.asarray(rng.standard_normal((4, 16, 64)), jnp.float32)
+    ref = nn.Dense(32, dtype=jnp.float32, param_dtype=jnp.float32)
+    qd = QDense(32, dtype=jnp.float32)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    # identical param tree → the same params load into both
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        qd.init(jax.random.PRNGKey(0), x))
+    y_ref = ref.apply(p, x)
+    y_q = qd.apply(p, x)
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+
+
+def test_int8_quant_encoder_close(rng):
+    """BEiT-2 with quant_int8 produces features close to the fp path (same
+    params — serving-mode quantization, no calibration)."""
+    import dataclasses as dc
+    from x2vlm_tpu.models import BEiT2, BEiT2Config
+
+    cfg = BEiT2Config(image_res=32, patch_size=16, embed_dim=64, depth=2,
+                      num_heads=2, drop_path_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    m = BEiT2(cfg, dtype=jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    mq = BEiT2(dc.replace(cfg, quant_int8=True), dtype=jnp.float32)
+    y = m.apply(p, x)
+    yq = mq.apply(p, x)
+    rel = float(jnp.linalg.norm(yq - y) / jnp.linalg.norm(y))
+    assert rel < 0.05, rel
+
+
 def test_plain_vit_shapes(rng):
     from x2vlm_tpu.models import ViT, ViTConfig
     cfg = ViTConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,

@@ -51,6 +51,7 @@ class BEiT2Config:
     ln_eps: float = 1e-6
     act: str = "gelu"          # "gelu" (erf; torch parity) | "gelu_fast" (tanh)
     remat: bool = False        # gradient checkpointing per block (jax.checkpoint)
+    quant_int8: bool = False   # serving: int8 W8A8 projections/FFN (ops/quant.py)
 
     @property
     def window(self) -> Tuple[int, int]:
@@ -125,6 +126,7 @@ class BEiT2Block(nn.Module):
             attn_dropout_rate=cfg.attn_dropout_rate,
             proj_dropout_rate=cfg.dropout_rate,
             dtype=self.dtype,
+            quant=cfg.quant_int8,
             name="attn",
         )(h, bias=rel_pos_bias, deterministic=deterministic)
         gamma_1 = self.param("gamma_1", nn.initializers.constant(cfg.init_values),
@@ -135,7 +137,8 @@ class BEiT2Block(nn.Module):
         h = ln("norm2")(x.astype(self.dtype))
         h = Mlp(hidden_dim=int(cfg.embed_dim * cfg.mlp_ratio),
                 act=ACTIVATIONS[cfg.act],
-                dropout_rate=cfg.dropout_rate, dtype=self.dtype, name="mlp")(
+                dropout_rate=cfg.dropout_rate, dtype=self.dtype,
+                quant=cfg.quant_int8, name="mlp")(
                     h, deterministic=deterministic)
         gamma_2 = self.param("gamma_2", nn.initializers.constant(cfg.init_values),
                              (cfg.embed_dim,), jnp.float32)

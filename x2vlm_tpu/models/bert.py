@@ -54,6 +54,7 @@ class BertConfig:
     position_offset: int = 0       # 2 for RoBERTa/XLM-R
     act: str = "gelu"              # "gelu" (erf; HF parity) | "gelu_fast"
     remat: bool = False            # gradient checkpointing per layer
+    quant_int8: bool = False       # serving: int8 W8A8 projections/FFN
     embedding_dim: Optional[int] = None  # MLM head bottleneck (CCLM)
     tie_word_embeddings: bool = True     # MLM decoder shares the embedding
                                          # matrix (HF BERT default; the
@@ -154,6 +155,7 @@ class BertLayer(nn.Module):
             attn_dropout_rate=cfg.attn_dropout,
             proj_dropout_rate=cfg.hidden_dropout,
             dtype=self.dtype,
+            quant=cfg.quant_int8,
             name="self_attn",
         )
         full_mask = None
@@ -182,6 +184,7 @@ class BertLayer(nn.Module):
                 attn_dropout_rate=cfg.attn_dropout,
                 proj_dropout_rate=cfg.hidden_dropout,
                 dtype=self.dtype,
+                quant=cfg.quant_int8,
                 name="cross_attn",
             )(x, kv=encoder_hidden_states.astype(self.dtype),
               key_mask=encoder_attention_mask,
@@ -189,7 +192,8 @@ class BertLayer(nn.Module):
             x = ln("cross_ln")((x + h).astype(self.dtype))
 
         h = Mlp(hidden_dim=cfg.intermediate_size, act=ACTIVATIONS[cfg.act],
-                dropout_rate=cfg.hidden_dropout, dtype=self.dtype, name="mlp")(
+                dropout_rate=cfg.hidden_dropout, dtype=self.dtype,
+                quant=cfg.quant_int8, name="mlp")(
                     x, deterministic=deterministic)
         x = ln("mlp_ln")((x + h).astype(self.dtype))
         if new_cache is not None:

@@ -108,21 +108,30 @@ class LayerNorm(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer FFN: dense -> act -> dense (+ optional dropout)."""
+    """Transformer FFN: dense -> act -> dense (+ optional dropout).
+
+    ``quant=True``: int8 W8A8 matmuls (serving; ops/quant.QDense — identical
+    param tree, so checkpoints load into either mode)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     act: Callable = gelu_exact
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc1")(x)
+        if self.quant:
+            from x2vlm_tpu.ops.quant import QDense
+            dense = lambda feat, name: QDense(feat, dtype=self.dtype, name=name)
+        else:
+            dense = lambda feat, name: nn.Dense(
+                feat, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        x = dense(self.hidden_dim, "fc1")(x)
         x = self.act(x)
-        x = nn.Dense(out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        x = dense(out_dim, "fc2")(x)
         if self.dropout_rate > 0.0:
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
@@ -162,6 +171,7 @@ class MultiHeadAttention(nn.Module):
     proj_dropout_rate: float = 0.0
     scale: Optional[float] = None
     dtype: Dtype = jnp.bfloat16
+    quant: bool = False   # int8 W8A8 projections (serving; attention stays bf16)
 
     @nn.compact
     def __call__(
@@ -187,15 +197,24 @@ class MultiHeadAttention(nn.Module):
         inner = head_dim * self.num_heads
         kv_src = x if kv is None else kv
 
-        dense = lambda use_bias, name: nn.Dense(
-            inner, use_bias=use_bias, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
         bq = self.qkv_bias_mode in ("full", "qv")
         bk = self.qkv_bias_mode == "full"
         bv = self.qkv_bias_mode in ("full", "qv")
-        q = dense(bq, "query")(x)
-        k = dense(bk, "key")(kv_src)
-        v = dense(bv, "value")(kv_src)
+        if self.quant:
+            from x2vlm_tpu.ops.quant import QDense, quantize_act
+            # quantize each source once, share across the projections fed by it
+            xq, sx = quantize_act(x)
+            kvq, skv_s = (xq, sx) if kv is None else quantize_act(kv_src)
+            q = QDense(inner, use_bias=bq, dtype=self.dtype, name="query")(x, xq, sx)
+            k = QDense(inner, use_bias=bk, dtype=self.dtype, name="key")(kv_src, kvq, skv_s)
+            v = QDense(inner, use_bias=bv, dtype=self.dtype, name="value")(kv_src, kvq, skv_s)
+        else:
+            dense = lambda use_bias, name: nn.Dense(
+                inner, use_bias=use_bias, dtype=self.dtype,
+                param_dtype=jnp.float32, name=name)
+            q = dense(bq, "query")(x)
+            k = dense(bk, "key")(kv_src)
+            v = dense(bv, "value")(kv_src)
 
         # (B, S, inner) → (B, H, S, D): the TPU-native attention layout. The
         # reshape+transpose fuses into the projection matmul's output — a
@@ -243,7 +262,12 @@ class MultiHeadAttention(nn.Module):
         )
         # (B, H, Sq, D) → (B, Sq, inner); fuses into the output projection.
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
-        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)
+        if self.quant:
+            from x2vlm_tpu.ops.quant import QDense
+            out = QDense(C, dtype=self.dtype, name="out")(out)
+        else:
+            out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="out")(out)
         if self.proj_dropout_rate > 0.0:
             out = nn.Dropout(self.proj_dropout_rate)(out, deterministic=deterministic)
         if cache is not None:
