@@ -169,6 +169,15 @@ def test_captioning_train_and_beam_search(rng):
         assert 1 <= len(s) <= 6
         assert all(0 <= t < 31 for t in s)
 
+    # the fully on-device (single fori_loop dispatch) variant reproduces the
+    # host-driven reference algorithm exactly
+    from x2vlm_tpu.models.captioning import beam_search_generate_device
+    seqs_dev = beam_search_generate_device(
+        model, variables, image, prompt_ids=[2],
+        mask_token_id=MASK_ID, eos_token_id=EOS_ID,
+        num_beams=2, min_length=2, max_length=6)
+    assert seqs_dev == seqs
+
 
 def test_cached_decode_matches_full_forward(rng):
     """The indexed KV-cache step must reproduce a full causal forward."""

@@ -16,6 +16,7 @@ as the reference's (:196-397), with cache reordering as one jitted gather.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional
 
@@ -28,7 +29,8 @@ from x2vlm_tpu.models.bert import BertEncoder, BertMLMHead
 from x2vlm_tpu.models.generation import label_smoothing_loss
 from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
-__all__ = ["XVLMForMLMCaptioning", "beam_search_generate"]
+__all__ = ["XVLMForMLMCaptioning", "beam_search_generate",
+           "beam_search_generate_device"]
 
 
 class XVLMForMLMCaptioning(nn.Module):
@@ -99,6 +101,191 @@ class XVLMForMLMCaptioning(nn.Module):
 
 def _first_expand(x, K):
     return jnp.repeat(x, K, axis=0)
+
+
+def beam_search_generate_device(
+    model: "XVLMForMLMCaptioning",
+    variables,
+    image: jnp.ndarray,
+    prompt_ids: List[int],
+    *,
+    mask_token_id: int,
+    eos_token_id: int,
+    num_beams: int = 3,
+    min_length: int = 5,
+    max_length: int = 20,
+    length_penalty: float = 0.0,
+    forbid_duplicate_ngrams: bool = True,
+    ngram_size: int = 3,
+) -> List[List[int]]:
+    """Fully on-device beam search: the entire decode (steps × [decode,
+    top-K×K merge, EOS freezing, n-gram blocking, cache reorder]) is ONE
+    jitted ``lax.fori_loop`` — a single dispatch instead of one host
+    round-trip per generated token (the host-driven variant below matches
+    the reference algorithm op-for-op and is kept for cross-checking).
+    Same bookkeeping as reference model_generation.py:196-397; traceback
+    runs host-side on the fetched (steps, B, K) histories."""
+    B = image.shape[0]
+    K = num_beams
+    P = len(prompt_ids)
+    Lmax = P + max_length + 1
+    steps = max_length  # number of emitted frames
+
+    # The jitted program is cached per (model, search statics): a fresh
+    # closure per call would re-trace/compile on every eval batch.
+    run = _device_search_cache(
+        model, B, K, tuple(prompt_ids), mask_token_id, eos_token_id,
+        min_length, max_length, forbid_duplicate_ngrams, ngram_size)
+
+    ids_hist, ptr_hist, score_hist = run(variables, image)
+    step_ids = list(np.asarray(ids_hist))
+    step_back_ptrs = list(np.asarray(ptr_hist))
+    total_scores = list(np.asarray(score_hist))
+    return _trace_back(B, step_ids, step_back_ptrs, total_scores,
+                       eos_token_id, length_penalty)
+
+
+@functools.lru_cache(maxsize=32)
+def _device_search_cache(model, B, K, prompt_ids, mask_token_id,
+                         eos_token_id, min_length, max_length,
+                         forbid_duplicate_ngrams, ngram_size):
+    prompt_ids = list(prompt_ids)
+    P = len(prompt_ids)
+    Lmax = P + max_length + 1
+    steps = max_length
+
+    @jax.jit
+    def run(variables, image):
+        img_embeds, img_atts = model.apply(variables, image,
+                                           method=model.encode_image)
+        cache = model.apply(variables, B, Lmax, method=model.init_cache)
+
+        # frame 0: [prompt..., MASK] at positions 0..P
+        x0 = jnp.tile(jnp.asarray(prompt_ids + [mask_token_id], jnp.int32),
+                      (B, 1))
+        logits, cache = model.apply(variables, x0, jnp.asarray(0, jnp.int32),
+                                    cache, img_embeds, img_atts,
+                                    method=model.decode_step)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        V = logp.shape[-1]
+        if min_length >= 1:
+            logp = logp.at[:, eos_token_id].set(-10000.0)
+        k_scores, k_ids = jax.lax.top_k(logp, K)              # (B, K)
+
+        cache = jax.tree_util.tree_map(
+            lambda a: _first_expand(a, K) if a.ndim > 0 else a, cache)
+        img_embeds_k = _first_expand(img_embeds, K)
+        img_atts_k = _first_expand(img_atts, K)
+
+        # histories (steps, B, K); sequence buffer (B*K, steps)
+        ids_hist = jnp.zeros((steps, B, K), jnp.int32).at[0].set(k_ids)
+        ptr_hist = jnp.zeros((steps, B, K), jnp.int32)
+        score_hist = jnp.zeros((steps, B, K), jnp.float32).at[0].set(k_scores)
+        eos_hist = jnp.zeros((steps, B, K), jnp.bool_).at[0].set(
+            k_ids == eos_token_id)
+        seqs = jnp.zeros((B * K, steps), jnp.int32).at[:, 0].set(
+            k_ids.reshape(-1))
+
+        def body(t, carry):
+            (cache, seqs, ids_hist, ptr_hist, score_hist, eos_hist) = carry
+            curr = seqs[:, t - 1][:, None]                    # (B*K, 1)
+            x = jnp.concatenate(
+                [curr, jnp.full((B * K, 1), mask_token_id, jnp.int32)], 1)
+            logits, new_cache = model.apply(
+                variables, x, P + t - 1, cache, img_embeds_k, img_atts_k,
+                method=model.decode_step)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+            if forbid_duplicate_ngrams and ngram_size >= 2:
+                # block w that would complete a repeated n-gram: for every
+                # earlier window seqs[i : i+n-1] equal to the current tail,
+                # forbid seqs[i+n-1]. Static loop over the buffer; windows
+                # whose continuation slot >= t are masked out (also covers
+                # early t, where the clamped tail slice is bogus but no i
+                # passes the bound).
+                n1 = ngram_size - 1
+                tail = jax.lax.dynamic_slice(
+                    seqs, (0, jnp.maximum(t - n1, 0)), (B * K, n1))
+                forbid = jnp.zeros((B * K, V), jnp.float32)
+                for i in range(steps - n1):
+                    win = jax.lax.dynamic_slice(seqs, (0, i), (B * K, n1))
+                    match = jnp.all(win == tail, axis=-1) & (i + n1 < t)
+                    forbid = forbid + jnp.where(
+                        match, 1.0, 0.0)[:, None] * jax.nn.one_hot(
+                            seqs[:, i + n1], V)
+                logp = logp - jnp.minimum(forbid, 1.0) * 10000.0
+
+            if min_length:
+                eos_col = jnp.arange(V)[None, :] == eos_token_id
+                logp = jnp.where(eos_col & (t + 1 <= min_length), -10000.0,
+                                 logp)
+
+            kk_scores, kk_idx = jax.lax.top_k(logp, K)        # (B*K, K)
+            last_eos = eos_hist[t - 1].reshape(B * K, 1)
+            last_scores = score_hist[t - 1].reshape(B * K, 1)
+            kk_scores = kk_scores + jnp.where(last_eos, -10000.0, 0.0) + \
+                last_scores
+            kk_scores = kk_scores.reshape(B, K * K)
+            kk_ids = kk_idx.reshape(B, K * K)
+            k_scores, sel = jax.lax.top_k(kk_scores, K)       # (B, K)
+            back_ptrs = sel // K
+            k_ids = jnp.take_along_axis(kk_ids, sel, axis=-1)
+
+            flat_ptrs = (jnp.arange(B)[:, None] * K + back_ptrs).reshape(-1)
+            new_cache = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, flat_ptrs, axis=0) if a.ndim > 0 else a,
+                new_cache)
+            seqs = jnp.take(seqs, flat_ptrs, axis=0).at[:, t].set(
+                k_ids.reshape(-1))
+
+            ids_hist = ids_hist.at[t].set(k_ids)
+            ptr_hist = ptr_hist.at[t].set(back_ptrs)
+            score_hist = score_hist.at[t].set(k_scores)
+            eos_hist = eos_hist.at[t].set(k_ids == eos_token_id)
+            return (new_cache, seqs, ids_hist, ptr_hist, score_hist, eos_hist)
+
+        carry = (cache, seqs, ids_hist, ptr_hist, score_hist, eos_hist)
+        carry = jax.lax.fori_loop(1, steps, body, carry)
+        _, _, ids_hist, ptr_hist, score_hist, eos_hist = carry
+        return ids_hist, ptr_hist, score_hist
+
+    return run
+
+
+def _trace_back(B, step_ids, step_back_ptrs, total_scores, eos_token_id,
+                length_penalty) -> List[List[int]]:
+    """Shared host-side best-sequence traceback (reference :330-375)."""
+    outputs = []
+    for b in range(B):
+        scores = [t[b] for t in total_scores]
+        wids_list = [t[b] for t in step_ids]
+        ptrs = [t[b] for t in step_back_ptrs]
+        last_frame_id = len(scores) - 1
+        for i, wids in enumerate(wids_list):
+            if all(int(w) == eos_token_id for w in wids):
+                last_frame_id = i
+                break
+        max_score, frame_id, pos_in_frame = -math.inf, -1, -1
+        for fid in range(last_frame_id + 1):
+            for i, wid in enumerate(wids_list[fid]):
+                if int(wid) == eos_token_id or fid == last_frame_id:
+                    s = float(scores[fid][i])
+                    if length_penalty > 0:
+                        s /= math.pow((5 + fid + 1) / 6.0, length_penalty)
+                    if s > max_score:
+                        max_score, frame_id, pos_in_frame = s, fid, i
+        if frame_id == -1:
+            outputs.append([0])
+            continue
+        seq = [int(wids_list[frame_id][pos_in_frame])]
+        for fid in range(frame_id, 0, -1):
+            pos_in_frame = int(ptrs[fid][pos_in_frame])
+            seq.append(int(wids_list[fid - 1][pos_in_frame]))
+        seq.reverse()
+        if seq and seq[-1] == eos_token_id:
+            seq = seq[:-1]
+        outputs.append(seq)
+    return outputs
 
 
 def beam_search_generate(
@@ -218,34 +405,5 @@ def beam_search_generate(
         next_pos += 1
 
     # trace back best sequences (reference :330-375)
-    outputs = []
-    for b in range(B):
-        scores = [t[b] for t in total_scores]
-        wids_list = [t[b] for t in step_ids]
-        ptrs = [t[b] for t in step_back_ptrs]
-        last_frame_id = len(scores) - 1
-        for i, wids in enumerate(wids_list):
-            if all(int(w) == eos_token_id for w in wids):
-                last_frame_id = i
-                break
-        max_score, frame_id, pos_in_frame = -math.inf, -1, -1
-        for fid in range(last_frame_id + 1):
-            for i, wid in enumerate(wids_list[fid]):
-                if int(wid) == eos_token_id or fid == last_frame_id:
-                    s = float(scores[fid][i])
-                    if length_penalty > 0:
-                        s /= math.pow((5 + fid + 1) / 6.0, length_penalty)
-                    if s > max_score:
-                        max_score, frame_id, pos_in_frame = s, fid, i
-        if frame_id == -1:
-            outputs.append([0])
-            continue
-        seq = [int(wids_list[frame_id][pos_in_frame])]
-        for fid in range(frame_id, 0, -1):
-            pos_in_frame = int(ptrs[fid][pos_in_frame])
-            seq.append(int(wids_list[fid - 1][pos_in_frame]))
-        seq.reverse()
-        if seq and seq[-1] == eos_token_id:
-            seq = seq[:-1]
-        outputs.append(seq)
-    return outputs
+    return _trace_back(B, step_ids, step_back_ptrs, total_scores,
+                       eos_token_id, length_penalty)

@@ -8,7 +8,9 @@ from typing import Dict, List
 import jax.numpy as jnp
 import numpy as np
 
-from x2vlm_tpu.models.captioning import beam_search_generate
+from x2vlm_tpu.models.captioning import (
+    beam_search_generate, beam_search_generate_device,
+)
 
 __all__ = ["generate_captions"]
 
@@ -16,8 +18,12 @@ __all__ = ["generate_captions"]
 def generate_captions(model, variables, dataset, tokenizer, *,
                       prompt: str = "", num_beams: int = 3, min_length: int = 5,
                       max_length: int = 20, batch_size: int = 16,
-                      host_id: int = 0, num_hosts: int = 1) -> List[Dict]:
-    """Returns [{image_id, caption}]."""
+                      host_id: int = 0, num_hosts: int = 1,
+                      on_device: bool = True) -> List[Dict]:
+    """Returns [{image_id, caption}]. ``on_device=True`` (default) runs the
+    whole beam search as one jitted fori_loop dispatch per batch (identical
+    outputs to the host-driven loop — cross-checked in tests); the host
+    variant remains for debugging."""
     prompt_ids = tokenizer.convert_tokens_to_ids(
         [tokenizer.cls_token] + (tokenizer.tokenize(prompt) if prompt else []))
     n = len(dataset)
@@ -29,7 +35,9 @@ def generate_captions(model, variables, dataset, tokenizer, *,
         samples = [dataset[i] for i in chunk]
         rows = samples + [samples[-1]] * (batch_size - len(samples))
         image = jnp.asarray(np.stack([s["image"] for s in rows]))
-        seqs = beam_search_generate(
+        search = beam_search_generate_device if on_device else \
+            beam_search_generate
+        seqs = search(
             model, variables, image, prompt_ids,
             mask_token_id=tokenizer.mask_token_id,
             eos_token_id=tokenizer.sep_token_id,
