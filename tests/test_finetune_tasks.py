@@ -187,3 +187,67 @@ def test_captioning_task(env):
                                 min_length=1, max_length=5, batch_size=2)
     assert len(results) == 2
     assert all(isinstance(r["caption"], str) for r in results)
+
+
+def test_scst_training_step(rng):
+    """SCST loop (capability beyond the reference, whose --scst flag is dead):
+    sample rollouts on-device, CIDEr-D leave-one-out advantages, one
+    policy-gradient step on advantage-weighted UniLM NLL."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from x2vlm_tpu.models import XVLMConfig, BEiT2Config, BertConfig
+    from x2vlm_tpu.models.captioning import XVLMForMLMCaptioning
+    from x2vlm_tpu.tasks.scst import scst_train_step
+    from x2vlm_tpu.train import (
+        create_optimizer, create_train_state, lr_schedule, make_train_step,
+    )
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0,
+                        attn_dropout=0.0),
+        embed_dim=16)
+    model = XVLMForMLMCaptioning(cfg, cls_token_id=2, dtype=jnp.float32)
+
+    class Tok:
+        mask_token_id = 4
+        sep_token_id = 3
+        pad_token_id = 0
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{t}" for t in ids if t > 4)
+
+    B, L, M = 2, 8, 3
+    tril = np.tril(np.ones((L, L), np.int32))
+    init_batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32),
+        "text_ids_masked": jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32),
+        "text_atts_matrix": jnp.asarray(np.tile(tril, (B, 1, 1))),
+        "position_ids": jnp.asarray(np.tile(np.arange(L), (B, 1))),
+        "masked_pos": jnp.asarray(rng.integers(1, L, (B, M)), jnp.int32),
+        "masked_ids": jnp.asarray(rng.integers(1, 31, (B, M)), jnp.int32),
+        "masked_weight": jnp.ones((B, M), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_batch)
+    tx = create_optimizer(variables["params"], lr_schedule(1e-4, 100, 10))
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(model, tx, donate=False)
+
+    images = jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32)
+    refs = [["w10 w11 w12"], ["w13 w14"]]
+    p0 = state.params
+    state, metrics, captions = scst_train_step(
+        model, state, step_fn, images, refs, Tok(), jax.random.PRNGKey(5),
+        prompt_ids=[2], num_samples=3, max_length=5)
+    assert len(captions) == B * 3
+    assert np.isfinite(float(metrics["loss_scst"]))
+    # a finite update was applied to the params
+    flat = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, state.params))
+    assert all(np.isfinite(d) for d in flat)

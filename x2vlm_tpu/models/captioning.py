@@ -46,6 +46,10 @@ class XVLMForMLMCaptioning(nn.Module):
         self.base = make_base(base_cfg, dtype=self.dtype)
 
     def __call__(self, batch, rng=None, deterministic=False):
+        """Standard training loss; with ``sample_weights`` (B,) in the batch,
+        the loss becomes the SCST policy gradient: per-row mean NLL over the
+        masked slots (no smoothing) weighted by the row's advantage
+        (reward − baseline), averaged over the batch."""
         base = self.base
         image_embeds, image_atts = base.get_vision_embeds(
             batch["image"], deterministic=deterministic)
@@ -60,6 +64,16 @@ class XVLMForMLMCaptioning(nn.Module):
                                embedding_table=base._tied_table())
         labels = jnp.where(batch["masked_weight"] > 0, batch["masked_ids"], -100)
         labels = jnp.where(labels == self.cls_token_id, -100, labels)
+        if batch.get("sample_weights") is not None:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            valid = labels != -100
+            safe = jnp.where(valid, labels, 0)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            nll = jnp.where(valid, nll, 0.0)
+            row = jnp.sum(nll, axis=-1) / jnp.maximum(
+                jnp.sum(valid, axis=-1), 1)
+            loss = jnp.mean(batch["sample_weights"].astype(jnp.float32) * row)
+            return {"loss_scst": loss}
         loss = label_smoothing_loss(logits, labels,
                                     smoothing=self.label_smoothing)
         return {"loss_caption": loss}
@@ -143,6 +157,91 @@ def beam_search_generate_device(
     total_scores = list(np.asarray(score_hist))
     return _trace_back(B, step_ids, step_back_ptrs, total_scores,
                        eos_token_id, length_penalty)
+
+
+def sample_generate_captioning(
+    model: "XVLMForMLMCaptioning",
+    variables,
+    image: jnp.ndarray,
+    prompt_ids: List[int],
+    rng: jax.Array,
+    *,
+    mask_token_id: int,
+    eos_token_id: int,
+    num_samples: int = 1,
+    max_length: int = 20,
+    temperature: float = 1.0,
+) -> List[List[int]]:
+    """Categorical sampling decode for SCST (reward rollouts): one on-device
+    fori_loop dispatch, ``num_samples`` rollouts per image. After EOS the
+    rollout is frozen (EOS repeats). Returns B·num_samples token lists in
+    image-major order (capability beyond the reference, whose --scst flag is
+    dead code — Captioning_MLM.py:272)."""
+    B = image.shape[0]
+    run = _device_sample_cache(model, B, num_samples, tuple(prompt_ids),
+                               mask_token_id, eos_token_id, max_length,
+                               float(temperature))
+    seqs = np.asarray(run(variables, image, rng))
+    out: List[List[int]] = []
+    for row in seqs:
+        toks = []
+        for t in row.tolist():
+            if t == eos_token_id:
+                break
+            toks.append(int(t))
+        out.append(toks)
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _device_sample_cache(model, B, K, prompt_ids, mask_token_id,
+                         eos_token_id, max_length, temperature):
+    prompt_ids = list(prompt_ids)
+    P = len(prompt_ids)
+    Lmax = P + max_length + 1
+    steps = max_length
+
+    @jax.jit
+    def run(variables, image, rng):
+        img_embeds, img_atts = model.apply(variables, image,
+                                           method=model.encode_image)
+        img_embeds = _first_expand(img_embeds, K)
+        img_atts = _first_expand(img_atts, K)
+        N = B * K
+        cache = model.apply(variables, N, Lmax, method=model.init_cache)
+
+        x0 = jnp.tile(jnp.asarray(prompt_ids + [mask_token_id], jnp.int32),
+                      (N, 1))
+        logits, cache = model.apply(variables, x0, jnp.asarray(0, jnp.int32),
+                                    cache, img_embeds, img_atts,
+                                    method=model.decode_step)
+        k0 = jax.random.categorical(
+            jax.random.fold_in(rng, 0),
+            logits.astype(jnp.float32) / temperature, axis=-1).astype(jnp.int32)
+        seqs = jnp.zeros((N, steps), jnp.int32).at[:, 0].set(k0)
+        done = k0 == eos_token_id
+
+        def body(t, carry):
+            cache, seqs, done = carry
+            curr = seqs[:, t - 1][:, None]
+            x = jnp.concatenate(
+                [curr, jnp.full((N, 1), mask_token_id, jnp.int32)], 1)
+            logits, cache = model.apply(
+                variables, x, P + t - 1, cache, img_embeds, img_atts,
+                method=model.decode_step)
+            draw = jax.random.categorical(
+                jax.random.fold_in(rng, t),
+                logits.astype(jnp.float32) / temperature,
+                axis=-1).astype(jnp.int32)
+            tok = jnp.where(done, eos_token_id, draw)
+            seqs = seqs.at[:, t].set(tok)
+            done = done | (tok == eos_token_id)
+            return cache, seqs, done
+
+        _, seqs, _ = jax.lax.fori_loop(1, steps, body, (cache, seqs, done))
+        return seqs
+
+    return run
 
 
 @functools.lru_cache(maxsize=32)
