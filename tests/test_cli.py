@@ -257,3 +257,36 @@ def test_cli_retrieval_cclm_plus_base(tmp_path):
           "--output_dir", str(out_dir), "--seed", "0"])
     rec = json.loads((out_dir / "log.txt").read_text().strip().splitlines()[-1])
     assert "eval_r_mean" in rec
+
+
+def test_cli_captioning_scst(tmp_path):
+    """scst: true switches the captioning runner to the self-critical loop
+    (rollout sampling + CIDEr-D advantages + policy-gradient steps)."""
+    from x2vlm_tpu.run import main
+
+    tok_dir = _write_vocab_dir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    cap_ann = []
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+        cap_ann.append({"image": f"im{i}.png",
+                        "caption": ["the quick brown fox runs"],
+                        "image_id": i})
+    (tmp_path / "cap.json").write_text(json.dumps(cap_ann))
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({"train_file": [str(tmp_path / "cap.json")],
+                "test_file": [str(tmp_path / "cap.json")],
+                "image_root": str(img_dir), "max_tokens": 12, "max_masks": 3,
+                "min_length": 1, "max_length": 4, "scst": True,
+                "batch_size_scst": 2, "scst_num_samples": 2,
+                "schedular": {"epochs": 1, "lr": 1e-5}})
+    (tmp_path / "scst.yaml").write_text(yaml.safe_dump(cfg))
+    main(["--task", "captioning", "--config", str(tmp_path / "scst.yaml"),
+          "--output_dir", str(tmp_path / "out_scst"), "--seed", "0"])
+    rec = json.loads((tmp_path / "out_scst" / "log.txt").read_text()
+                     .strip().splitlines()[-1])
+    assert "loss_scst" in rec or "epoch" in rec
+    assert (tmp_path / "out_scst" / "ckpt").exists()

@@ -362,6 +362,30 @@ class CaptioningTrainDataset:
         return out
 
 
+class CaptioningSCSTDataset:
+    """SCST variant (reference captioning_dataset.py:230
+    coco_karpathy_train_scst): one row per *image*, carrying every ground-truth
+    caption as a reward reference."""
+
+    def __init__(self, ann_files, transform, image_root):
+        by_image: Dict[str, List[str]] = {}
+        for a in _load_annotations(ann_files):
+            caps = a["caption"] if isinstance(a["caption"], list) else [a["caption"]]
+            by_image.setdefault(a["image"], []).extend(str(c) for c in caps)
+        self.items = sorted(by_image.items())
+        self.transform = transform
+        self.image_root = image_root
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index):
+        path, captions = self.items[index]
+        img = Image.open(os.path.join(self.image_root, path)).convert("RGB")
+        return {"image": self.transform(img).astype(np.float32),
+                "captions": captions}
+
+
 class CaptioningEvalDataset:
     def __init__(self, ann_files, transform, image_root):
         self.ann = _load_annotations(ann_files)

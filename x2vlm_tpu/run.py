@@ -465,8 +465,72 @@ def run_captioning(args, cfg, mesh, task="captioning"):
             host_id=jax.process_index(), num_hosts=jax.process_count())
         return caption_eval(results, anns) if anns else {"n": len(results)}
 
+    if cfg.get("scst") and not args.evaluate:
+        # self-critical fine-tune (the reference declares --scst but has no
+        # loop behind it — Captioning_MLM.py:272); CIDEr-D reward rollouts
+        return _run_captioning_scst(args, cfg, mesh, model, mcfg, tokenizer,
+                                    example, eval_fn if anns else None)
+
     _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
                      eval_fn=eval_fn, metric_key="cider" if anns else None)
+
+
+def _run_captioning_scst(args, cfg, mesh, model, mcfg, tokenizer, example,
+                         eval_fn):
+    from x2vlm_tpu.data.finetune import CaptioningSCSTDataset
+    from x2vlm_tpu.data.transforms import test_transform
+    from x2vlm_tpu.tasks.scst import scst_train_step
+
+    # SCST rollouts use the deterministic eval transform (reference
+    # coco_karpathy_train_scst samples rewards on un-augmented images)
+    ds = CaptioningSCSTDataset(
+        cfg["train_file"], test_transform(cfg["image_res"]),
+        cfg.get("image_root", cfg.get("image_root_train", "")))
+    prompt_ids = tokenizer.convert_tokens_to_ids(
+        [tokenizer.cls_token] + (tokenizer.tokenize(cfg["prompt"])
+                                 if cfg.get("prompt") else []))
+    bsz = cfg.get("batch_size_scst", cfg.get("batch_size", 8))
+    epochs = cfg.get("schedular", {}).get("epochs", 3)
+
+    with mesh_lib.global_mesh(mesh):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "dropout": jax.random.PRNGKey(args.seed + 1)}, example)
+        variables, missing = load_initial_params(args, cfg, model, variables)
+        steps_per_epoch = max(1, len(ds) // bsz)
+        tx = make_optimizer(cfg, variables["params"],
+                            total_steps=steps_per_epoch * epochs,
+                            fusion_layer=mcfg.text.fusion_layer,
+                            fresh_paths=missing)
+        state = create_train_state(variables, tx)
+        state, _ = maybe_resume(args, state)
+        state = apply_fsdp(state, mesh)
+        step_fn = make_train_step(model, tx, donate=False)
+        rng = jax.random.PRNGKey(args.seed + 2)
+        idx = list(range(len(ds)))
+        metrics = {"loss_scst": float("nan")}
+        for epoch in range(epochs):
+            random.Random(args.seed + epoch).shuffle(idx)
+            for lo in range(0, len(idx) - bsz + 1, bsz):
+                rows = [ds[i] for i in idx[lo: lo + bsz]]
+                images = jnp.asarray(np.stack([r["image"] for r in rows]))
+                refs = [r["captions"] for r in rows]
+                rng, sub = jax.random.split(rng)
+                state, metrics, _ = scst_train_step(
+                    model, state, step_fn, images, refs, tokenizer, sub,
+                    prompt_ids=prompt_ids,
+                    num_samples=cfg.get("scst_num_samples", 5),
+                    max_length=cfg.get("max_length", 20))
+            append_log(args.output_dir,
+                       {"epoch": epoch,
+                        "loss_scst": float(metrics["loss_scst"])})
+            ckpt_lib.save_train_state(
+                os.path.join(args.output_dir, "ckpt"), state, int(state.step))
+            if eval_fn is not None:
+                append_log(args.output_dir,
+                           {"epoch": epoch,
+                            "eval": eval_fn({"params": state.params})})
+        return state
 
 
 def run_classification(args, cfg, mesh, task="classification"):
