@@ -255,3 +255,48 @@ def test_large_model_structure_and_param_count():
     assert "block_23" in base["vision_encoder"]
     assert base["vision_encoder"]["block_0"]["attn"]["query"]["kernel"].shape \
         == (1024, 1024)
+
+
+def test_fused_itm_mlm_matches_separate_passes(rng):
+    """The single-fusion-pass ITM+MLM (get_matching_and_mlm_loss) must equal
+    the separate get_matching_loss + get_mlm_loss computation — same hard
+    negatives (same rng), same math, only the batching differs."""
+    cfg = XVLMConfig(vision=tiny_vision(), text=tiny_text(), embed_dim=16)
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+    B, L, M = 4, 8, 3
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32),
+        "text_atts": jnp.ones((B, L), jnp.int32),
+        "text_ids_masked": jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32),
+        "masked_pos": jnp.asarray(rng.integers(0, L, (B, M)), jnp.int32),
+        "masked_ids": jnp.asarray(rng.integers(1, 31, (B, M)), jnp.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(7)
+    fused = model.apply(variables, batch, rng=key, deterministic=True)
+
+    def separate(mdl, batch, key):
+        base = mdl.base
+        image_embeds, image_atts = base.get_vision_embeds(
+            batch["image"], deterministic=True)
+        text_embeds = base.get_text_embeds(batch["text_ids"],
+                                           batch["text_atts"],
+                                           deterministic=True)
+        image_feat, text_feat = base.get_features(image_embeds, text_embeds)
+        loss_itm = base.get_matching_loss(
+            image_embeds, image_atts, image_feat,
+            text_embeds, batch["text_atts"], text_feat, key)
+        loss_mlm = base.get_mlm_loss(
+            batch["text_ids_masked"], batch["text_atts"], image_embeds,
+            image_atts, batch["masked_pos"], batch["masked_ids"],
+            deterministic=True)
+        return loss_itm, loss_mlm
+
+    sep_itm, sep_mlm = model.apply(variables, batch, key, method=separate)
+    np.testing.assert_allclose(float(fused["loss_itm"]), float(sep_itm),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(fused["loss_mlm"]), float(sep_mlm),
+                               rtol=1e-5, atol=1e-5)
