@@ -134,72 +134,88 @@ def main():
 
     import dataclasses
 
-    cfg = XVLMConfig.base(image_res=224)
-    # serving-mode activation: tanh GELU (erf is VPU-expensive; diff ~1e-3).
-    # X2VLM_BENCH=int8 additionally runs the W8A8 dynamic-int8 projections/FFN
-    # (ops/quant.py) — same checkpoint, ~2% feature error, int8 MXU rate.
+    base_cfg = XVLMConfig.base(image_res=224)
     quant = os.environ.get("X2VLM_BENCH") == "int8"
-    cfg = dataclasses.replace(
-        cfg,
-        vision=dataclasses.replace(cfg.vision, act="gelu_fast",
-                                   quant_int8=quant),
-        text=dataclasses.replace(cfg.text, act="gelu_fast",
-                                 quant_int8=quant))
-    model = XVLMForRetrieval(cfg, dtype=jnp.bfloat16)
+
+    def variant(act, q):
+        return dataclasses.replace(
+            base_cfg,
+            vision=dataclasses.replace(base_cfg.vision, act=act, quant_int8=q),
+            text=dataclasses.replace(base_cfg.text, act=act, quant_int8=q))
 
     batch = 128
     seq = 40
     iters = 10
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16)
-    text_ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (batch, seq)),
-                           jnp.int32)
+    text_ids = jnp.asarray(rng.integers(0, base_cfg.text.vocab_size,
+                                        (batch, seq)), jnp.int32)
     text_atts = jnp.ones((batch, seq), jnp.int32)
+    params_box = {}
 
-    params = jax.jit(
-        lambda k: model.init(
-            {"params": k, "dropout": jax.random.PRNGKey(1)},
-            image, text_ids, text_atts, jnp.arange(batch, dtype=jnp.int32),
-            rng=jax.random.PRNGKey(2), deterministic=True)
-    )(jax.random.PRNGKey(0))
+    def measure(cfg):
+        """pairs/s for one config. All variants share the identical param
+        tree (act/quant are graph-only), so init runs once."""
+        model = XVLMForRetrieval(cfg, dtype=jnp.bfloat16)
+        if "params" not in params_box:
+            params_box["params"] = jax.jit(
+                lambda k: model.init(
+                    {"params": k, "dropout": jax.random.PRNGKey(1)},
+                    image, text_ids, text_atts,
+                    jnp.arange(batch, dtype=jnp.int32),
+                    rng=jax.random.PRNGKey(2), deterministic=True)
+            )(jax.random.PRNGKey(0))
+        params = params_box["params"]
 
-    @jax.jit
-    def encode_loop(params, image, text_ids, text_atts, seed):
-        def body(i, carry):
-            img = image + (seed + i.astype(jnp.float32) * 1e-6).astype(jnp.bfloat16)
-            ids = jnp.roll(text_ids, i, axis=0)
-            _, img_feat = model.apply(params, img, method=model.encode_images)
-            _, txt_feat = model.apply(params, ids, text_atts,
-                                      method=model.encode_texts)
-            # consume every row so XLA cannot dead-code-eliminate batch rows
-            return carry + jnp.sum(img_feat).astype(jnp.float32) + \
-                jnp.sum(txt_feat).astype(jnp.float32)
+        @jax.jit
+        def encode_loop(params, image, text_ids, text_atts, seed):
+            def body(i, carry):
+                img = image + (seed + i.astype(jnp.float32) * 1e-6
+                               ).astype(jnp.bfloat16)
+                ids = jnp.roll(text_ids, i, axis=0)
+                _, img_feat = model.apply(params, img,
+                                          method=model.encode_images)
+                _, txt_feat = model.apply(params, ids, text_atts,
+                                          method=model.encode_texts)
+                # consume every row so XLA cannot dead-code-eliminate rows
+                return carry + jnp.sum(img_feat).astype(jnp.float32) + \
+                    jnp.sum(txt_feat).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, iters, body, seed)
+            return jax.lax.fori_loop(0, iters, body, seed)
 
-    # NOTE: on the axon tunnel backend block_until_ready can return before the
-    # computation finishes and identical dispatches may be served from a
-    # cache — sync by *fetching a value* and chain reps through the result.
-    val = float(encode_loop(params, image, text_ids, text_atts, jnp.float32(0.0)))
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+        # NOTE: on the axon tunnel block_until_ready can return early and
+        # identical dispatches may be cache-served — sync by *fetching a
+        # value* and chain reps through the result.
         val = float(encode_loop(params, image, text_ids, text_atts,
-                                jnp.float32(val * 1e-9)))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+                                jnp.float32(0.0)))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            val = float(encode_loop(params, image, text_ids, text_atts,
+                                    jnp.float32(val * 1e-9)))
+            times.append(time.perf_counter() - t0)
+        return batch * iters / min(times)
 
-    pairs_per_sec = batch * iters / dt
     n_chips = max(jax.device_count(), 1)
-    value = pairs_per_sec / n_chips
-    name = "retrieval_encode_int8_pairs_per_sec_per_chip" if quant else \
-        "retrieval_encode_pairs_per_sec_per_chip"
+    if quant:
+        value = measure(variant("gelu_fast", True)) / n_chips
+        print(json.dumps({
+            "metric": "retrieval_encode_int8_pairs_per_sec_per_chip",
+            "value": round(value, 2),
+            "unit": "pairs/s/chip",
+            "vs_baseline": round(value / 2000.0, 4),
+        }))
+        return
+    # headline = checkpoint-import-parity config (exact erf GELU); the
+    # serving variant (tanh GELU, ~1e-3 feature diff) is reported alongside
+    parity = measure(variant("gelu", False)) / n_chips
+    serving = measure(variant("gelu_fast", False)) / n_chips
     print(json.dumps({
-        "metric": name,
-        "value": round(value, 2),
+        "metric": "retrieval_encode_pairs_per_sec_per_chip",
+        "value": round(parity, 2),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(value / 2000.0, 4),
+        "vs_baseline": round(parity / 2000.0, 4),
+        "serving_gelu_fast_value": round(serving, 2),
     }))
 
 

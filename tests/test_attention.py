@@ -88,11 +88,15 @@ for (Sq, Skv, causal, with_bias, with_mask) in [
     (100, 300, False, False, True),   # unaligned + cross lengths
     (256, 256, True, False, False),   # causal
     (130, 130, True, True, False),    # causal + bias, unaligned
+    (128, 1200, False, False, True),  # Skv > 1024 -> 512-tiles: multi-KV-block
+                                      # key-mask path (_add_krow, dynamic kv_start)
+    (256, 256, False, "batch", True), # batch-varying (B,H,Sq,Skv) bias
 ]:
     q = jnp.asarray(rng.standard_normal((B, H, Sq, D)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((B, H, Skv, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, H, Skv, D)).astype(np.float32))
-    bias = jnp.asarray(rng.standard_normal((1, H, Sq, Skv)).astype(np.float32)) if with_bias else None
+    Bb = B if with_bias == "batch" else 1
+    bias = jnp.asarray(rng.standard_normal((Bb, H, Sq, Skv)).astype(np.float32)) if with_bias else None
     km = jnp.asarray(rng.random((B, Skv)) > 0.2) if with_mask else None
     if km is not None:
         km = km.at[:, 0].set(True)

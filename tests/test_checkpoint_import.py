@@ -328,3 +328,59 @@ def test_roberta_import_parity():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
                                rtol=1e-4, atol=2e-4)
+
+
+def test_rel_pos_interpolation_matches_reference_algorithm():
+    """Numerical parity of _interp_rel_pos_table with a direct port of the
+    reference's geometric-progression + cubic scheme (reference
+    beit2.py:517-578) at the real fine-tune transition 224→384px
+    (window 14→24). The port below mirrors the reference line-by-line;
+    scipy's RectBivariateSpline stands in for the removed interp2d (scipy
+    documents it as the bug-for-bug replacement on regular grids)."""
+    import numpy as np
+    from scipy.interpolate import RectBivariateSpline
+
+    from x2vlm_tpu.train.checkpoint import _interp_rel_pos_table
+
+    src_size, dst_size, heads = 2 * 14 - 1, 2 * 24 - 1, 4
+    rng = np.random.default_rng(7)
+    table = rng.standard_normal((src_size * src_size + 3, heads)).astype(
+        np.float32)
+
+    # ---- direct port of reference load_pretrained_beit2 interpolation ----
+    rel_pos_bias = table[:-3]
+    extra_tokens = table[-3:]
+
+    def geometric_progression(a, r, n):
+        return a * (1.0 - r ** n) / (1.0 - r)
+
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        gp = geometric_progression(1, q, src_size // 2)
+        if gp > dst_size // 2:
+            right = q
+        else:
+            left = q
+    dis = []
+    cur = 1
+    for i in range(src_size // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    x = r_ids + [0] + dis
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+
+    all_heads = []
+    for i in range(heads):
+        z = rel_pos_bias[:, i].reshape(src_size, src_size).astype(np.float64)
+        # f = interp2d(x, y, z, kind='cubic'); f(dx, dy)
+        f = RectBivariateSpline(np.asarray(x), np.asarray(x), z, kx=3, ky=3)
+        all_heads.append(f(dx, dx).reshape(-1, 1))
+    expected = np.concatenate(
+        [np.concatenate(all_heads, axis=1), extra_tokens], axis=0)
+
+    got = _interp_rel_pos_table(table, src_window=14, dst_window=24)
+    assert got.shape == (dst_size * dst_size + 3, heads)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)

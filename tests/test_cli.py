@@ -197,10 +197,19 @@ def test_cli_vqa_and_captioning(tmp_path):
           "--output_dir", str(tmp_path / "out_vqa"), "--seed", "0"])
     rec = json.loads((tmp_path / "out_vqa" / "log.txt").read_text()
                      .strip().splitlines()[-1])
-    assert rec["eval_n"] == 8
-    results = json.loads((tmp_path / "out_vqa" / "vqa_result_host0.json").read_text())
+    results = json.loads((tmp_path / "out_vqa" / "vqa_result.json").read_text())
     assert len(results) == 8
     assert all(r["answer"] in ("dog", "cat", "fox") for r in results)
+    # the test split carries answers → official-protocol accuracy and the
+    # exact-match acc are computed and wired into the log (VQA.py:94-116)
+    assert "eval_overall" in rec and 0.0 <= rec["eval_overall"] <= 100.0
+    assert "eval_acc" in rec and 0.0 <= rec["eval_acc"] <= 100.0
+    # regression: every fine-tune epoch writes a checkpoint
+    # (tasks/finetune.py save path)
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(tmp_path / "out_vqa" / "ckpt")) as mgr:
+        assert mgr.latest_step() is not None
 
     cap_ann = [{"image": f"im{i}.png", "caption": ["the quick brown fox runs"],
                 "image_id": i} for i in range(8)]

@@ -162,6 +162,8 @@ def test_cli_xgqa_per_language_answers(corpus):
     out = _run(d, "xgqa", cfg, "xgqa")
     rec = _last_record(out)
     assert rec["eval_en_n"] == 8 and rec["eval_de_n"] == 8
+    # per-language exact-match accuracies + their mean (best-model metric)
+    assert "eval_en_acc" in rec and "eval_de_acc" in rec and "eval_acc" in rec
     res = json.loads((out / "vqa_result_de_host0.json").read_text())
     assert all(r["answer"] in ("dog", "cat") for r in res)
 
@@ -244,11 +246,18 @@ def test_cli_pretrain_cclm_streams_and_resume(corpus):
         mtexts={"iter_perc": 1.0, "batch_size": 8, "max_tokens": 10},
         aux_iter_perc=0.5,
         max_masks=3, mask_prob=0.5,
-        ckpt_frequent_step=2)
+        ckpt_frequent_step=3)
     cfg["schedular"]["epochs"] = 1  # 16/8 = 2 steps
 
+    # ckpt_frequent_step=3 > 2 steps: the periodic save never fires, so the
+    # checkpoint below can only come from the end-of-run final save
+    # (regression: short pretrains used to exit with an empty ckpt/)
     out = _run(d, "cclm_pt", cfg, "pretrain")
     assert (out / "ckpt").exists()
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(out / "ckpt")) as mgr:
+        assert mgr.latest_step() == 2
     data_state = json.loads((out / "data_state.json").read_text())
     assert "image" in data_state and "mtext" in data_state
 
@@ -261,8 +270,6 @@ def test_cli_pretrain_cclm_streams_and_resume(corpus):
     cfg_path.write_text(yaml.safe_dump(cfg2))
     main(["--task", "pretrain", "--config", str(cfg_path),
           "--output_dir", str(out), "--seed", "0", "--resume"])
-    import orbax.checkpoint as ocp
-
     with ocp.CheckpointManager(str(out / "ckpt")) as mgr:
         assert mgr.latest_step() == 4
 
@@ -291,3 +298,65 @@ def test_cli_retrieval_resume_and_fsdp(corpus):
     lines = (out / "log.txt").read_text().strip().splitlines()
     assert len(lines) == n_records + 1
     assert json.loads(lines[-1])["epoch"] == 1
+
+
+@pytest.mark.slow
+def test_cli_video_retrieval_train(corpus):
+    """video_retrieval trains through the standard retrieval path (reference
+    run.py:155-166 launches Retrieval.py on MSRVTT) then runs the two-stage
+    eval on (F, H, W, 3) frame inputs."""
+    from PIL import Image as PILImage
+
+    d, tok_dir, img_dir = corpus
+    rng = np.random.default_rng(3)
+    for v in range(8):
+        vdir = d / "vids" / f"v{v}"
+        vdir.mkdir(parents=True, exist_ok=True)
+        for i in range(3):
+            PILImage.fromarray(
+                rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+                    vdir / f"f{i}.png")
+    ann = [{"video": f"v{v}", "caption": [f"the dog {v}"]} for v in range(8)]
+    (d / "vret.json").write_text(json.dumps(ann))
+    cfg = _model_cfg(tok_dir,
+                     train_file=[str(d / "vret.json")],
+                     test_file=[str(d / "vret.json")],
+                     video_root=str(d / "vids"),
+                     video_encoding="avgpool", frame_len=2,
+                     add_frame_pos=True, k_test=2, batch_size=8)
+    out = _run(d, "vret", cfg, "video_retrieval")
+    rec = _last_record(out)
+    assert "eval_r_mean" in rec
+    assert any(k.startswith("loss") for k in rec)
+
+
+@pytest.mark.slow
+def test_cli_next_qa_mc(corpus):
+    """NExT-QA multiple choice: K (question ‖ option) rows score against the
+    shared video through one deduped fusion pass; accuracy over argmax
+    (reference next_qa_mc_dataset vqa_dataset.py:651 + vqa_mc_collate_fn,
+    which the reference ships without a scorer)."""
+    from PIL import Image as PILImage
+
+    d, tok_dir, img_dir = corpus
+    rng = np.random.default_rng(4)
+    for v in range(8):
+        vdir = d / "mcvids" / f"v{v}"
+        vdir.mkdir(parents=True, exist_ok=True)
+        for i in range(3):
+            PILImage.fromarray(
+                rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+                    vdir / f"f{i}.png")
+    ann = [{"video": f"v{v}", "question": "the dog",
+            "options": ["runs", "jumps", "red"], "answer": v % 3}
+           for v in range(8)]
+    (d / "mc.json").write_text(json.dumps(ann))
+    cfg = _model_cfg(tok_dir,
+                     train_file=[str(d / "mc.json")],
+                     test_file=[str(d / "mc.json")],
+                     video_root=str(d / "mcvids"),
+                     video_encoding="avgpool", frame_len=2,
+                     num_options=3, batch_size=8, batch_size_test=4)
+    out = _run(d, "nextqa", cfg, "next_qa_mc")
+    rec = _last_record(out)
+    assert "eval_accuracy" in rec and 0.0 <= rec["eval_accuracy"] <= 100.0

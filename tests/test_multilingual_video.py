@@ -199,3 +199,84 @@ def test_video_qa_classification_end_to_end(tmp_path, tok):
     assert np.isfinite(float(out["loss_cls"]))
     metrics = evaluate_classification(model, v, ds, batch_size=1)
     assert metrics["n"] == 1
+
+
+@pytest.fixture()
+def fake_hdfs(tmp_path, monkeypatch):
+    """A fake `hdfs` CLI on PATH mapping hdfs://test/... to a local dir —
+    exercises the real core/io subprocess pipes end-to-end."""
+    import os
+    import stat
+
+    root = tmp_path / "hdfs_root"
+    root.mkdir()
+    script = tmp_path / "bin" / "hdfs"
+    script.parent.mkdir()
+    script.write_text(f"""#!/usr/bin/env python3
+import os, sys
+ROOT = {str(root)!r}
+def local(p):
+    assert p.startswith("hdfs://test/"), p
+    return os.path.join(ROOT, p[len("hdfs://test/"):])
+args = sys.argv[1:]          # ['dfs', '-cat'|-ls|-test|..., ...]
+op = args[1]
+if op == "-cat":
+    sys.stdout.buffer.write(open(local(args[2]), "rb").read())
+elif op == "-ls":
+    d = local(args[2])
+    for f in sorted(os.listdir(d)):
+        rel = os.path.relpath(os.path.join(d, f), ROOT)
+        print(f"-rw-r--r--   1 u g 0 2024-01-01 00:00 hdfs://test/{{rel}}")
+elif op == "-test":
+    sys.exit(0 if os.path.exists(local(args[3])) else 1)
+else:
+    sys.exit(2)
+""")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{script.parent}:{os.environ['PATH']}")
+    return root
+
+
+def test_hdfs_train_file_streams_end_to_end(fake_hdfs, tok):
+    """An hdfs:// train_file lists, shards, and streams through
+    DistLineReader → ImageTextStream exactly like a local one (reference
+    dist_dataset.py:30-44 + utils/hdfs_io.py:24-82), and annotation/image
+    opens accept remote paths."""
+    from x2vlm_tpu.data import DistLineReader
+    from x2vlm_tpu.data.imageio import open_image
+    from x2vlm_tpu.data.pretrain import ImageTextStream
+    from x2vlm_tpu.data.retrieval import _load_annotations
+    from x2vlm_tpu.data.streaming import list_data_files
+    from x2vlm_tpu.data.tokenization import TextPreprocessor
+
+    rng = np.random.default_rng(5)
+    ddir = fake_hdfs / "data"
+    ddir.mkdir()
+    for s in range(2):
+        with open(ddir / f"part{s}.jsonl", "w") as f:
+            for i in range(4):
+                f.write(json.dumps({"binary": _b64(rng),
+                                    "caption": f"the quick fox {i}"}) + "\n")
+    (ddir / "_SUCCESS").write_text("")
+
+    files = list_data_files(["hdfs://test/data"])
+    assert files == ["hdfs://test/data/part0.jsonl",
+                     "hdfs://test/data/part1.jsonl"]
+
+    reader = DistLineReader(["hdfs://test/data"], shuffle=False, repeat=False)
+    pre = TextPreprocessor(tok, max_tokens=8, max_masks=2,
+                           rng=random.Random(0))
+    stream = ImageTextStream(reader, pre, T.test_transform(32),
+                             caption_key="caption")
+    samples = list(stream)
+    assert len(samples) == 8
+    assert samples[0]["image"].shape == (32, 32, 3)
+
+    # remote annotation file + remote image path
+    img = Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8))
+    img.save(fake_hdfs / "im0.png")
+    (fake_hdfs / "ann.json").write_text(json.dumps(
+        [{"image": "hdfs://test/im0.png", "caption": ["a dog"]}]))
+    ann = _load_annotations("hdfs://test/ann.json")
+    assert ann[0]["caption"] == ["a dog"]
+    assert open_image(ann[0]["image"]).size == (40, 40)

@@ -1,0 +1,98 @@
+"""Block-diagonal tiny-attention kernel: interpret-mode parity vs the XLA
+reference (fwd + bwd, masked/unmasked, with attention-prob dropout)."""
+
+import subprocess
+import sys
+
+_TINY_TEST = r"""
+import os
+os.environ["X2VLM_FLASH_INTERPRET"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from x2vlm_tpu.ops.tiny_attention import tiny_block_attention, _xla_reference, _krow
+
+rng = np.random.default_rng(3)
+for (B, S, H, D, with_mask) in [
+    (4, 40, 12, 64, False),    # pretrain text-tower shape
+    (8, 40, 12, 64, True),
+    (2, 16, 2, 8, True),       # tiny
+    (6, 48, 4, 32, True),      # other aligned sizes
+]:
+    HD = H * D
+    q = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+    km = None
+    if with_mask:
+        km_np = rng.random((B, S)) > 0.25
+        km_np[:, 0] = True
+        km = jnp.asarray(km_np)
+    scale = D ** -0.5
+
+    out = tiny_block_attention(q, k, v, num_heads=H, key_mask=km)
+    ref = _xla_reference(q * scale, k, v,
+                         None if km is None else _krow(km), None, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_tiny(q_, k_, v_):
+        o = tiny_block_attention(q_, k_, v_, num_heads=H, key_mask=km)
+        return jnp.sum(o * o)
+
+    def loss_ref(q_, k_, v_):
+        o = _xla_reference(q_ * scale, k_, v_,
+                           None if km is None else _krow(km), None, H)
+        return jnp.sum(o * o)
+
+    gt = jax.grad(loss_tiny, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f"grad {name} B={B} S={S} H={H}")
+
+# dropout path: same rng on kernel and reference must agree exactly
+B, S, H, D = 4, 40, 4, 32
+HD = H * D
+q = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+k = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+v = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+key = jax.random.PRNGKey(0)
+scale = D ** -0.5
+keep = jax.random.bernoulli(key, 0.9, (B, S, H * S))
+dmask = keep.astype(jnp.bfloat16) / jnp.bfloat16(0.9)
+
+out = tiny_block_attention(q, k, v, num_heads=H, dropout_rate=0.1,
+                           dropout_rng=key, deterministic=False)
+ref = _xla_reference(q * scale, k, v, None, dmask, H)
+np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                           rtol=2e-3, atol=2e-3)
+
+def loss_tiny_d(q_, k_, v_):
+    o = tiny_block_attention(q_, k_, v_, num_heads=H, dropout_rate=0.1,
+                             dropout_rng=key, deterministic=False)
+    return jnp.sum(o * o)
+
+def loss_ref_d(q_, k_, v_):
+    o = _xla_reference(q_ * scale, k_, v_, None, dmask, H)
+    return jnp.sum(o * o)
+
+gt = jax.grad(loss_tiny_d, argnums=(0, 1, 2))(q, k, v)
+gr = jax.grad(loss_ref_d, argnums=(0, 1, 2))(q, k, v)
+for name, a, b in zip("qkv", gt, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-2, atol=1e-2,
+                               err_msg=f"dropout grad {name}")
+print("TINY_OK")
+"""
+
+
+def test_tiny_attention_interpret_mode():
+    res = subprocess.run(
+        [sys.executable, "-c", _TINY_TEST],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr
+    assert "TINY_OK" in res.stdout

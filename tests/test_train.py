@@ -109,3 +109,57 @@ def test_temp_projection_stays_in_bounds():
         state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
     temp = float(state.params["base"]["temp"])
     assert 0.001 <= temp <= 0.5
+
+
+def test_flat_adamw_matches_tree_chain():
+    """flatten=True (one fused flat-vector update, segment-wise coefficients)
+    is numerically identical to the optax chain, including global-norm clip,
+    masked weight decay, per-group lr scales, and the temp projection."""
+    from x2vlm_tpu.train.optim import param_labels
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "base": {
+            "temp": jnp.asarray(0.07, jnp.float32),
+            "vision_encoder": {
+                "patch_embed": {"kernel": jax.random.normal(key, (4, 8)),
+                                "bias": jnp.zeros((8,))},
+            },
+            "text_encoder": {
+                "layer_0": {"mlp": {"kernel": jax.random.normal(key, (8, 8)),
+                                    "bias": jnp.zeros((8,))}},
+                "layer_3": {"mlp": {"kernel": jax.random.normal(key, (8, 8)),
+                                    "bias": jnp.zeros((8,))}},
+            },
+            "itm_head": {"kernel": jax.random.normal(key, (8, 2))},
+        }
+    }
+    labels = param_labels(params, fusion_layer=2,
+                         fresh_paths=["itm_head/kernel"])
+    sched = lr_schedule(1e-2, 50, warmup_steps=5)
+    kw = dict(weight_decay=0.05, clip_grad_norm=1.0, lr_mult=2.0,
+              vision_lr_scale=0.5, text_lr_scale=1.5, cross_lr_scale=0.8,
+              labels=labels)
+    tx_tree = create_optimizer(params, sched, **kw)
+    tx_flat = create_optimizer(params, sched, flatten=True, **kw)
+
+    import optax
+
+    p_tree = params
+    p_flat = params
+    s_tree = tx_tree.init(p_tree)
+    s_flat = tx_flat.init(p_flat)
+    for step in range(4):
+        g = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, step),
+                                        p.shape) * 3.0, params)
+        u_tree, s_tree = tx_tree.update(g, s_tree, p_tree)
+        u_flat, s_flat = tx_flat.update(g, s_flat, p_flat)
+        p_tree = optax.apply_updates(p_tree, u_tree)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+    flat_leaves = jax.tree_util.tree_leaves(p_flat)
+    for a, b in zip(jax.tree_util.tree_leaves(p_tree), flat_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
+    # temp stayed projected
+    assert 0.001 <= float(p_flat["base"]["temp"]) <= 0.5

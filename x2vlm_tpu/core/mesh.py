@@ -37,6 +37,9 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "constrain",
+    "constrain_batch",
+    "constrain_replicated",
     "local_device_count",
     "process_index",
     "process_count",
@@ -113,6 +116,30 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def constrain(x, *spec):
+    """``with_sharding_constraint`` against the active mesh; a no-op when no
+    mesh is installed (single-chip tests / serving). Used to make the
+    cross-batch gathers (hard-negative ITM, grouped-image regions) partition
+    explicitly — one all-gather of the operand then shard-local takes —
+    instead of tripping SPMD's involuntary full rematerialization."""
+    if _ACTIVE_MESH is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACTIVE_MESH, P(*spec)))
+
+
+def constrain_batch(x):
+    """Constrain the leading dim to the batch sharding (data×fsdp). Skipped
+    when the leading dim doesn't divide the mesh (e.g. tiny init traces)."""
+    if _ACTIVE_MESH is None or x.shape[0] % _ACTIVE_MESH.size != 0:
+        return x
+    return constrain(x, (DATA_AXIS, FSDP_AXIS))
+
+
+def constrain_replicated(x):
+    return constrain(x)
 
 
 def local_device_count() -> int:

@@ -159,13 +159,33 @@ def create_dataset(task: str, config, evaluate: bool = False,
             return None, ev
         return VideoQADataset(train_files(), train_tf, **kw), ev
 
+    if task in ("next_qa_mc", "video_qa_mc"):
+        from x2vlm_tpu.data.video import NextQAMCDataset
+
+        kw = dict(video_root=config["video_root"], text_pre=pre,
+                  frame_len=config.get("frame_len", 5),
+                  num_options=config.get("num_options", 5))
+        ev = _per_split(test_files(), lambda f: NextQAMCDataset(
+            f, test_tf, training=False, **kw))
+        if evaluate:
+            return None, ev
+        return NextQAMCDataset(train_files(), train_tf, training=True,
+                               rng=rng, **kw), ev
+
     if task in ("video_retrieval", "itr_coco_msrvtt"):
         from x2vlm_tpu.data.video import VideoRetrievalDataset
 
         ev = _per_split(test_files(), lambda f: VideoRetrievalDataset(
             f, test_tf, config["video_root"], pre,
             frame_len=config.get("frame_len", 5)))
-        return None, ev
+        if evaluate:
+            return None, ev
+        # trains through the standard retrieval path (reference run.py:155-166
+        # launches Retrieval.py on MSRVTT)
+        tr = VideoRetrievalDataset(
+            train_files(), train_tf, config["video_root"], pre,
+            frame_len=config.get("frame_len", 5), training=True, rng=rng)
+        return tr, ev
 
     if task == "xvnli":
         from x2vlm_tpu.data.iglue import XVNLIDataset

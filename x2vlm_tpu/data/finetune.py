@@ -23,6 +23,8 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
+from x2vlm_tpu.data.imageio import open_image
+
 from x2vlm_tpu.data.loader import collate
 from x2vlm_tpu.data.masking import TextMaskingGenerator
 from x2vlm_tpu.data.retrieval import _load_annotations
@@ -75,7 +77,7 @@ class VQATrainDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        img = Image.open(self._image_path(a)).convert("RGB")
+        img = open_image(self._image_path(a))
         image = self.transform(img).astype(np.float32)
         q_ids, q_atts = self.text_pre(a["question"])
         answers = a["answer"] if isinstance(a["answer"], list) else [a["answer"]]
@@ -94,10 +96,12 @@ class VQATrainDataset:
                 "weights": np.asarray(weights, np.float32)}
 
 
-def vqa_collate(samples: Sequence[Dict], answers_per_batch: int
-                ) -> Dict[str, np.ndarray]:
+def vqa_collate(samples: Sequence[Dict], answers_per_batch: int,
+                rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
     """Fixed-shape VQA train batch: flatten per-question answers into
-    `answers_per_batch` rows (truncate / zero-weight-pad)."""
+    `answers_per_batch` rows (truncate / zero-weight-pad). Truncation sampling
+    takes the injected ``rng`` so runs are reproducible."""
+    rng = rng or random.Random(0)
     base = collate([{k: s[k] for k in ("image", "question_ids", "question_atts")}
                     for s in samples])
     ans_ids, ans_atts, weights, index = [], [], [], []
@@ -108,7 +112,7 @@ def vqa_collate(samples: Sequence[Dict], answers_per_batch: int
             weights.append(s["weights"][j])
             index.append(qi)
     if len(ans_ids) > answers_per_batch:
-        keep = sorted(random.sample(range(len(ans_ids)), answers_per_batch))
+        keep = sorted(rng.sample(range(len(ans_ids)), answers_per_batch))
         ans_ids = [ans_ids[i] for i in keep]
         ans_atts = [ans_atts[i] for i in keep]
         weights = [weights[i] for i in keep]
@@ -146,6 +150,17 @@ class VQAEvalDataset:
     def __len__(self):
         return len(self.ann)
 
+    def gt_answers(self) -> Dict[int, list]:
+        """qid → human answer list, for test splits that carry answers
+        (reference VQA.py:94-116 evaluates against the test annotation when
+        available; test-std has none and only dumps results)."""
+        out = {}
+        for i, a in enumerate(self.ann):
+            if "answer" in a:
+                ans = a["answer"] if isinstance(a["answer"], list) else [a["answer"]]
+                out[int(a.get("question_id", i))] = ans
+        return out
+
     def _image_path(self, a):
         if isinstance(self.image_roots, str):
             return os.path.join(self.image_roots, a["image"])
@@ -153,7 +168,7 @@ class VQAEvalDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        img = Image.open(self._image_path(a)).convert("RGB")
+        img = open_image(self._image_path(a))
         image = self.transform(img).astype(np.float32)
         q_ids, q_atts = self.text_pre(a["question"])
         return {"image": image, "question_ids": q_ids, "question_atts": q_atts,
@@ -175,8 +190,8 @@ class NLVRDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        im0 = Image.open(os.path.join(self.image_root, a["images"][0])).convert("RGB")
-        im1 = Image.open(os.path.join(self.image_root, a["images"][1])).convert("RGB")
+        im0 = open_image(a["images"][0], self.image_root)
+        im1 = open_image(a["images"][1], self.image_root)
         ids, atts = self.text_pre(a["sentence"])
         label = 1 if str(a["label"]).lower() == "true" else 0
         return {"image0": self.transform(im0).astype(np.float32),
@@ -206,7 +221,7 @@ class GroundingTrainDataset:
     def __getitem__(self, index):
         rng = self.rng
         a = self.ann[index]
-        img = Image.open(os.path.join(self.image_root, a["image"])).convert("RGB")
+        img = open_image(a["image"], self.image_root)
         W, H = img.size
         x, y, w, h = a["bbox"]
         caption = a["text"]
@@ -251,7 +266,7 @@ class GroundingEvalDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        img = Image.open(os.path.join(self.image_root, a["image"])).convert("RGB")
+        img = open_image(a["image"], self.image_root)
         ids, atts = self.text_pre(a["text"])
         return {"image": self.transform(img).astype(np.float32),
                 "text_ids": ids, "text_atts": atts,
@@ -353,7 +368,7 @@ class CaptioningTrainDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        img = Image.open(os.path.join(self.image_root, a["image"])).convert("RGB")
+        img = open_image(a["image"], self.image_root)
         caption = a["caption"]
         if isinstance(caption, list):
             caption = self.rng.choice(caption)
@@ -381,7 +396,7 @@ class CaptioningSCSTDataset:
 
     def __getitem__(self, index):
         path, captions = self.items[index]
-        img = Image.open(os.path.join(self.image_root, path)).convert("RGB")
+        img = open_image(path, self.image_root)
         return {"image": self.transform(img).astype(np.float32),
                 "captions": captions}
 
@@ -397,7 +412,7 @@ class CaptioningEvalDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        img = Image.open(os.path.join(self.image_root, a["image"])).convert("RGB")
+        img = open_image(a["image"], self.image_root)
         image_id = a.get("image_id", index)
         if isinstance(image_id, str) and "_" in image_id:
             image_id = int(image_id.split("_")[-1].split(".")[0])

@@ -17,6 +17,8 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
+from x2vlm_tpu.data.imageio import open_image
+
 from x2vlm_tpu.data.tokenization import TextPreprocessor
 
 __all__ = ["WITRetrievalDataset", "XFlickrCODataset", "XVNLIDataset",
@@ -122,7 +124,7 @@ class XFlickrCODataset:
         return len(self.texts)
 
     def _image(self, ii):
-        return Image.open(os.path.join(self.image_root,
+        return open_image(os.path.join(self.image_root,
                                        self.images[ii])).convert("RGB")
 
     def image_batch(self, indices):
@@ -166,7 +168,7 @@ class XVNLIDataset:
 
     def __getitem__(self, index):
         a = self.ann[index]
-        img = Image.open(os.path.join(
+        img = open_image(os.path.join(
             self.image_root, a["Flikr30kID"] + ".jpg")).convert("RGB")
         ids, atts = self.text_pre(a["sentence2"])
         return {"image": self.transform(img).astype(np.float32),
@@ -193,7 +195,7 @@ class MARVLDataset:
 
     def _open(self, rpath):
         path = os.path.join(self.image_root, rpath) if self.image_root else rpath
-        return Image.open(path).convert("RGB")
+        return open_image(path)
 
     def __getitem__(self, index):
         a = self.ann[index]

@@ -30,7 +30,9 @@ __all__ = ["ImageTextStream", "TextStream", "RegionTextStream",
 
 def _open_image(ann: dict, image_key: str, is_rpath: bool) -> Image.Image:
     if is_rpath:
-        return Image.open(ann[image_key]).convert("RGB")
+        from x2vlm_tpu.data.imageio import open_image
+
+        return open_image(ann[image_key])
     return Image.open(io.BytesIO(b64decode(ann[image_key]))).convert("RGB")
 
 

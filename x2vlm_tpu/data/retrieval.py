@@ -19,17 +19,23 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 from PIL import Image
 
+from x2vlm_tpu.data.imageio import open_image
+
 from x2vlm_tpu.data.tokenization import TextPreprocessor
 
 __all__ = ["RetrievalTrainDataset", "RetrievalEvalDataset"]
 
 
 def _load_annotations(ann_files) -> List[dict]:
+    """Remote-transparent (hdfs:// / gs:// stream through core/io pipes,
+    reference utils/hdfs_io.hopen:24-52)."""
+    from x2vlm_tpu.core.io import hopen
+
     if isinstance(ann_files, str):
         ann_files = [ann_files]
     ann = []
     for f in ann_files:
-        with open(f, "r") as fh:
+        with hopen(f, "r") as fh:
             ann.extend(json.load(fh))
     return ann
 
@@ -56,7 +62,7 @@ class RetrievalTrainDataset:
 
     def __getitem__(self, index: int):
         a = self.ann[index]
-        img = Image.open(os.path.join(self.image_root, a["image"])).convert("RGB")
+        img = open_image(a["image"], self.image_root)
         image = self.transform(img)
         caption = a["caption"]
         if isinstance(caption, list):
@@ -123,7 +129,7 @@ class RetrievalEvalDataset:
             # fall through to PIL for any broken item
         out = []
         for i in indices:
-            img = Image.open(os.path.join(self.image_root, self.images[i])).convert("RGB")
+            img = open_image(self.images[i], self.image_root)
             out.append(self.transform(img))
         return np.stack(out).astype(np.float32)
 

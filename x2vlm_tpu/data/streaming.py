@@ -18,15 +18,27 @@ import os
 import random
 from typing import Dict, Iterator, List, Optional, Sequence
 
+from x2vlm_tpu.core.io import hopen
+
 __all__ = ["list_data_files", "split_shard", "DistLineReader"]
 
 
 def list_data_files(paths: Sequence[str]) -> List[str]:
-    """Expand directories / globs into files; drop _SUCCESS markers
-    (reference dist_dataset.py:30-44)."""
+    """Expand directories / globs into files; drop _SUCCESS markers.
+    ``hdfs://`` / ``gs://`` paths list through the core/io CLI pipes
+    (reference dist_dataset.py:30-44 + utils/hdfs_io.hlist_files:55-82)."""
+    from x2vlm_tpu.core.io import hlist_files
+
     out: List[str] = []
     for p in paths:
-        if os.path.isdir(p):
+        if p.startswith(("hdfs://", "gs://")):
+            listed = sorted(
+                f for f in hlist_files([p])
+                if not os.path.basename(f).startswith(("_", ".")))
+            if not listed:
+                raise FileNotFoundError(p)
+            out.extend(listed)
+        elif os.path.isdir(p):
             out.extend(sorted(
                 os.path.join(p, f) for f in os.listdir(p)
                 if not f.startswith("_") and not f.startswith(".")))
@@ -100,7 +112,7 @@ class DistLineReader:
             files = self._epoch_files(epoch)
             while file_idx < len(files):
                 path = files[file_idx]
-                with open(path, "r", encoding="utf-8") as f:
+                with hopen(path, "r") as f:
                     for i, line in enumerate(f):
                         if i < line_idx:
                             continue

@@ -15,11 +15,14 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
+from x2vlm_tpu.data.imageio import open_image
+
 from x2vlm_tpu.data.pretrain import sample_frame_ids
 from x2vlm_tpu.data.retrieval import _load_annotations
 from x2vlm_tpu.data.tokenization import TextPreprocessor
 
-__all__ = ["VideoQADataset", "VideoRetrievalDataset", "load_frames"]
+__all__ = ["VideoQADataset", "VideoRetrievalDataset", "NextQAMCDataset",
+           "load_frames"]
 
 
 def load_frames(frame_source, transform, frame_len: int, training: bool,
@@ -32,7 +35,7 @@ def load_frames(frame_source, transform, frame_len: int, training: bool,
     else:
         frames = [os.path.join(video_root, f) for f in frame_source]
     ids = sample_frame_ids(len(frames), frame_len, training, rng)
-    out = [transform(Image.open(frames[i]).convert("RGB")) for i in ids]
+    out = [transform(open_image(frames[i])) for i in ids]
     return np.stack(out).astype(np.float32)  # (F, H, W, 3)
 
 
@@ -68,7 +71,12 @@ class VideoQADataset:
 
 class VideoRetrievalDataset:
     """Video-text retrieval (itr_coco_msrvtt): same two-stage protocol as
-    image retrieval with (F, H, W, 3) visual inputs."""
+    image retrieval with (F, H, W, 3) visual inputs.
+
+    Doubles as a map-style train set (reference run.py:155-166 trains MSRVTT
+    retrieval through Retrieval.py): ``__getitem__`` returns
+    {image: (F,H,W,3), text_ids, text_atts, idx} rows with duplicate-video-
+    aware ``idx``, the same contract as RetrievalTrainDataset."""
 
     def __init__(self, ann_files, transform, video_root: str,
                  text_pre: TextPreprocessor, frame_len: int = 5,
@@ -80,6 +88,12 @@ class VideoRetrievalDataset:
         self.frame_len = frame_len
         self.training = training
         self.rng = rng or random
+        self.vid_ids: Dict = {}
+        for a in self.ann:
+            vid = a.get("video_id", a["video"] if isinstance(a["video"], str)
+                        else json.dumps(a["video"]))
+            if vid not in self.vid_ids:
+                self.vid_ids[vid] = len(self.vid_ids)
 
         self.texts: List[str] = []
         self.videos: List = []
@@ -95,6 +109,22 @@ class VideoRetrievalDataset:
                 self.img2txt[vi].append(ti)
                 self.txt2img[ti] = vi
                 ti += 1
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        a = self.ann[index]
+        frames = load_frames(a["video"], self.transform, self.frame_len,
+                             self.training, self.rng, self.video_root)
+        caption = a["caption"]
+        if isinstance(caption, list):
+            caption = self.rng.choice(caption) if self.training else caption[0]
+        ids, atts = self.text_pre(caption)
+        vid = a.get("video_id", a["video"] if isinstance(a["video"], str)
+                    else json.dumps(a["video"]))
+        return {"image": frames, "text_ids": ids, "text_atts": atts,
+                "idx": np.int32(self.vid_ids[vid])}
 
     def n_images(self):
         return len(self.videos)

@@ -116,13 +116,17 @@ def vqa_eval(results: Iterable[Dict], annotations: Dict[int, List[str]]
     return {"overall": 100.0 * sum(accs) / max(len(accs), 1), "n": len(accs)}
 
 
-def exact_match_accuracy(results: Iterable[Dict], answers: Dict[int, str]
+def exact_match_accuracy(results: Iterable[Dict], answers: Dict[int, object]
                          ) -> float:
-    """Simple protocol used by VQA.py:94-116 for datasets with one gt answer."""
+    """Simple protocol used by VQA.py:94-116: prediction string-equals the gt.
+    Accepts a single gt string or a list (correct if it matches any)."""
     total, correct = 0, 0
     for r in results:
         qid = r["question_id"]
         if qid in answers:
+            gt = answers[qid]
+            gt = gt if isinstance(gt, (list, tuple)) else [gt]
             total += 1
-            correct += int(str(r["answer"]).strip() == str(answers[qid]).strip())
+            correct += int(any(str(r["answer"]).strip() == str(a).strip()
+                               for a in gt))
     return 100.0 * correct / max(total, 1)

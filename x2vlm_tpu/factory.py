@@ -147,6 +147,10 @@ def build_model(config: Dict, task: str, dtype=jnp.bfloat16):
 
         return XVLMForClassification(cfg, num_labels=config["num_labels"],
                                      dtype=dtype), cfg
+    if task == "multiple_choice":
+        from x2vlm_tpu.models.classification import XVLMForMultipleChoice
+
+        return XVLMForMultipleChoice(cfg, dtype=dtype), cfg
     raise ValueError(f"unknown task {task!r}")
 
 

@@ -235,7 +235,14 @@ def grouped_image_embeds(
     Returns (region_embeds, full_embeds): region rows with masked avgpool cls,
     and the gathered full-attention rows (for bbox prediction on full images).
     """
-    full = jnp.take(vision_embeds, idx_to_group_img, axis=0)  # (B_r, S+1, C)
+    from x2vlm_tpu.core import mesh as mesh_lib
+
+    # cross-batch expansion (regions of one image land on several shards):
+    # all-gather the per-image rows once, take shard-locally, keep the
+    # per-region result batch-sharded — avoids SPMD involuntary remat
+    vision_embeds = mesh_lib.constrain_replicated(vision_embeds)
+    full = mesh_lib.constrain_batch(
+        jnp.take(vision_embeds, idx_to_group_img, axis=0))  # (B_r, S+1, C)
     patches = full[:, 1:, :]
     weights = image_atts[:, 1:, None].astype(patches.dtype)  # (B_r, S, 1)
     pooled = jnp.sum(weights * patches, axis=1, keepdims=True) / jnp.maximum(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, cross_entropy, make_base
 
-__all__ = ["XVLMForClassification", "XVLMForNLVR"]
+__all__ = ["XVLMForClassification", "XVLMForNLVR", "XVLMForMultipleChoice"]
 
 
 from x2vlm_tpu.models.xvlm import MlpHead as ClsHead  # build_mlp parity:
@@ -76,6 +76,53 @@ class XVLMForClassification(nn.Module):
     def predict(self, batch):
         return self.logits(batch["text_ids"], batch["text_atts"],
                            image=batch.get("image"), deterministic=True)
+
+
+class XVLMForMultipleChoice(nn.Module):
+    """Multiple-choice QA over K candidate texts per image/video (NExT-QA MC;
+    reference next_qa_mc_dataset at vqa_dataset.py:651 + vqa_mc_collate_fn at
+    dataset/__init__.py:540 emit (K,) option texts — the reference snapshot
+    ships no scorer, this is the natural one): each (question ‖ option) row
+    goes through the fusion encoder against the shared visual stream, the K
+    CLS scores softmax against each other.
+
+    TPU shape: options flatten to one (B·K, L) fusion pass; the K rows per
+    sample gather their cross-attention K/V from the single unique image via
+    ``encoder_gather_idx`` (the hard-negative-ITM dedup machinery), so the
+    video tower runs once per sample, not K times."""
+
+    config: XVLMConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.base = make_base(self.config, dtype=self.dtype)
+        self.mc_head = ClsHead(1, dtype=self.dtype)
+
+    def logits(self, image, option_ids, option_atts, deterministic=True):
+        B, K, L = option_ids.shape
+        image_embeds, image_atts = self.base.get_vision_embeds(
+            image, deterministic=deterministic)
+        flat_ids = option_ids.reshape(B * K, L)
+        flat_atts = option_atts.reshape(B * K, L)
+        text_embeds = self.base.get_text_embeds(flat_ids, flat_atts,
+                                                deterministic=deterministic)
+        gather_idx = jnp.repeat(jnp.arange(B), K)
+        atts_all = jnp.take(image_atts, gather_idx, axis=0)
+        cross = self.base.get_cross_embeds(
+            image_embeds, atts_all, text_embeds=text_embeds,
+            text_atts=flat_atts, encoder_gather_idx=gather_idx,
+            deterministic=deterministic)[:, 0, :]
+        return self.mc_head(cross).reshape(B, K)
+
+    def __call__(self, batch, rng=None, deterministic=False):
+        logits = self.logits(batch["image"], batch["option_ids"],
+                             batch["option_atts"],
+                             deterministic=deterministic)
+        return {"loss_cls": cross_entropy(logits, batch["labels"])}
+
+    def predict(self, batch):
+        return self.logits(batch["image"], batch["option_ids"],
+                           batch["option_atts"], deterministic=True)
 
 
 class XVLMForNLVR(nn.Module):

@@ -154,7 +154,8 @@ class XVLMForRetrieval(nn.Module):
         loss_itc = base.get_contrastive_loss(image_feat, text_feat, idx=idx)
         loss_itm = base.get_matching_loss(
             image_embeds, image_atts, image_feat,
-            text_embeds, text_atts, text_feat, rng, idx=idx)
+            text_embeds, text_atts, text_feat, rng, idx=idx,
+            deterministic=deterministic)
         return {"loss_itc": loss_itc, "loss_itm": loss_itm}
 
     # --- eval-time encoders (two-stage retrieval protocol) ---

@@ -149,7 +149,11 @@ class XVLMBase(nn.Module):
             atts = jnp.ones(embeds.shape[:2], jnp.int32)
             return embeds, atts
         if image_atts is None:
-            full = jnp.take(embeds, idx_to_group_img, axis=0)
+            from x2vlm_tpu.core import mesh as mesh_lib
+
+            full = mesh_lib.constrain_batch(jnp.take(
+                mesh_lib.constrain_replicated(embeds), idx_to_group_img,
+                axis=0))
             return full, jnp.ones(full.shape[:2], jnp.int32)
         region, full = grouped_image_embeds(embeds, idx_to_group_img, image_atts)
         return region, image_atts, full
@@ -215,20 +219,30 @@ class XVLMBase(nn.Module):
 
     def get_contrastive_loss(self, image_feat, text_feat, idx=None):
         """In-batch ITC over the *global* batch. Under pjit the feature
-        matmul's all_gather is inserted by XLA (reference xvlm.py:794-826)."""
+        matmul's all_gather is inserted by XLA (reference xvlm.py:794-826).
+
+        Each direction gets its own row-batch-sharded logits matmul: the
+        (B, B, D) FLOPs are negligible next to the encoders, and pinning both
+        row layouts keeps the softmax + backward shard-local instead of
+        resharding logits.T (SPMD involuntary-remat hazard)."""
+        from x2vlm_tpu.core import mesh as mesh_lib
+
         temp = self.get_temp()
-        logits = (image_feat @ text_feat.T) / temp  # (B, B) global
+        logits = mesh_lib.constrain_batch(image_feat @ text_feat.T) / temp
+        logits_t = mesh_lib.constrain_batch(text_feat @ image_feat.T) / temp
         bsz = logits.shape[0]
         if idx is None:
             labels = jnp.arange(bsz)
             loss_i2t = cross_entropy(logits, labels)
-            loss_t2i = cross_entropy(logits.T, labels)
+            loss_t2i = cross_entropy(logits_t, labels)
         else:
             idx = idx.reshape(-1, 1)
+            # pos is symmetric, so its per-row normalization serves both
+            # directions unchanged
             pos = (idx == idx.T).astype(jnp.float32)
             soft_labels = pos / jnp.sum(pos, axis=1, keepdims=True)
             logp = jax.nn.log_softmax(logits, axis=1)
-            logp_t = jax.nn.log_softmax(logits.T, axis=1)
+            logp_t = jax.nn.log_softmax(logits_t, axis=1)
             loss_i2t = -jnp.mean(jnp.sum(logp * soft_labels, axis=1))
             loss_t2i = -jnp.mean(jnp.sum(logp_t * soft_labels, axis=1))
         return (loss_i2t + loss_t2i) / 2
@@ -257,15 +271,27 @@ class XVLMBase(nn.Module):
         return image_neg_idx, text_neg_idx
 
     def get_matching_loss(self, image_embeds, image_atts, image_feat,
-                          text_embeds, text_atts, text_feat, rng, idx=None):
+                          text_embeds, text_atts, text_feat, rng, idx=None,
+                          deterministic: bool = True):
         """ITM: 1 positive + 2 hard-negative fusion passes → 2-way head
         (reference xvlm.py:859-899)."""
+        from x2vlm_tpu.core import mesh as mesh_lib
+
         bs = image_embeds.shape[0]
         image_neg_idx, text_neg_idx = self.get_hard_negatives(
             image_feat, text_feat, rng, idx=idx)
 
-        text_embeds_neg = jnp.take(text_embeds, text_neg_idx, axis=0)
-        text_atts_neg = jnp.take(text_atts, text_neg_idx, axis=0)
+        # the negative takes gather arbitrary global batch rows — all-gather
+        # the operands explicitly so SPMD partitions cleanly (shard-local
+        # takes; no involuntary full remat)
+        text_embeds_r = mesh_lib.constrain_replicated(text_embeds)
+        text_atts_r = mesh_lib.constrain_replicated(text_atts)
+        text_embeds_neg = jnp.take(text_embeds_r, text_neg_idx, axis=0)
+        text_atts_neg = jnp.take(text_atts_r, text_neg_idx, axis=0)
+        # the fusion pass gathers cross-attention K/V from the unique images:
+        # hand it the image stream already replicated (one explicit
+        # all-gather) so the KV projections/takes partition shard-locally
+        image_embeds = mesh_lib.constrain_replicated(image_embeds)
 
         # One batched fusion pass over [pos ‖ (img, text_neg) ‖ (img_neg, text)].
         # Only `bs` unique images exist among the 3·bs rows — the fusion
@@ -273,14 +299,18 @@ class XVLMBase(nn.Module):
         # per row (encoder_gather_idx), instead of projecting 3·bs duplicates.
         gather_idx = jnp.concatenate(
             [jnp.arange(bs), jnp.arange(bs), image_neg_idx], 0)
-        image_atts_all = jnp.take(image_atts, gather_idx, axis=0)
-        text_all = jnp.concatenate([text_embeds, text_embeds_neg, text_embeds], 0)
-        text_atts_all = jnp.concatenate([text_atts, text_atts_neg, text_atts], 0)
+        image_atts_all = jnp.take(mesh_lib.constrain_replicated(image_atts),
+                                  gather_idx, axis=0)
+        text_all = mesh_lib.constrain_batch(jnp.concatenate(
+            [text_embeds, text_embeds_neg, text_embeds], 0))
+        text_atts_all = mesh_lib.constrain_batch(jnp.concatenate(
+            [text_atts, text_atts_neg, text_atts], 0))
 
         cross = self.get_cross_embeds(image_embeds, image_atts_all,
                                       text_embeds=text_all,
                                       text_atts=text_atts_all,
-                                      encoder_gather_idx=gather_idx)[:, 0, :]
+                                      encoder_gather_idx=gather_idx,
+                                      deterministic=deterministic)[:, 0, :]
         logits = self.itm_head(cross)
         labels = jnp.concatenate(
             [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)], 0)
@@ -303,19 +333,26 @@ class XVLMBase(nn.Module):
         fusion half); `mlm_text_embeds` is the text-mode encoding of
         text_ids_masked. Cross-attention K/V are projected once per unique
         image and gathered per row (encoder_gather_idx)."""
+        from x2vlm_tpu.core import mesh as mesh_lib
+
         bs = image_embeds.shape[0]
         image_neg_idx, text_neg_idx = self.get_hard_negatives(
             image_feat, text_feat, rng, idx=idx)
-        text_embeds_neg = jnp.take(text_embeds, text_neg_idx, axis=0)
-        text_atts_neg = jnp.take(text_atts, text_neg_idx, axis=0)
+        # explicit all-gather of the take operands (see get_matching_loss)
+        text_embeds_r = mesh_lib.constrain_replicated(text_embeds)
+        text_atts_r = mesh_lib.constrain_replicated(text_atts)
+        text_embeds_neg = jnp.take(text_embeds_r, text_neg_idx, axis=0)
+        text_atts_neg = jnp.take(text_atts_r, text_neg_idx, axis=0)
+        image_embeds = mesh_lib.constrain_replicated(image_embeds)
 
         ar = jnp.arange(bs)
         gather_idx = jnp.concatenate([ar, ar, image_neg_idx, ar], 0)
-        image_atts_all = jnp.take(image_atts, gather_idx, axis=0)
-        text_all = jnp.concatenate(
-            [text_embeds, text_embeds_neg, text_embeds, mlm_text_embeds], 0)
-        text_atts_all = jnp.concatenate(
-            [text_atts, text_atts_neg, text_atts, text_atts], 0)
+        image_atts_all = jnp.take(mesh_lib.constrain_replicated(image_atts),
+                                  gather_idx, axis=0)
+        text_all = mesh_lib.constrain_batch(jnp.concatenate(
+            [text_embeds, text_embeds_neg, text_embeds, mlm_text_embeds], 0))
+        text_atts_all = mesh_lib.constrain_batch(jnp.concatenate(
+            [text_atts, text_atts_neg, text_atts, text_atts], 0))
 
         cross = self.get_cross_embeds(
             image_embeds, image_atts_all, text_embeds=text_all,

@@ -125,7 +125,8 @@ class XVLMPlusForPretrain(nn.Module):
         if ret_match_loss:
             losses["loss_itm"] = base.get_matching_loss(
                 image_embeds, image_atts, image_feat,
-                text_embeds, batch["text_atts"], text_feat, rng)
+                text_embeds, batch["text_atts"], text_feat, rng,
+                deterministic=deterministic)
         else:
             losses["loss_itm"] = jnp.asarray(0.0, jnp.float32)
         losses["loss_mlm"] = base.get_mlm_loss(
@@ -154,7 +155,8 @@ class XVLMPlusForPretrain(nn.Module):
         f2 = base.get_features(text_embeds=e2)
         loss_ttc = base.get_contrastive_loss(f1, f2)
         loss_ttm = base.get_matching_loss(e1, batch["text_atts"], f1,
-                                          e2, batch["text_atts_2"], f2, rng)
+                                          e2, batch["text_atts_2"], f2, rng,
+                                          deterministic=deterministic)
         loss_tlm = base.get_mlm_loss(
             batch["text_ids_masked"], batch["text_atts"], e2,
             batch["text_atts_2"], batch["masked_pos"], batch["masked_ids"],

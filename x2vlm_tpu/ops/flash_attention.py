@@ -317,7 +317,15 @@ def _flash_forward(q, k, v, bias, key_mask, causal, scale,
     # plus the in-kernel fp32 temporaries (s/p logits blocks + accumulator).
     row_bytes = (2 * block_q * D + 2 * Skv_p * D) * 2 + \
         2 * block_q * block_kv * 4 + block_q * D * 4
-    shared = block_q * Skv_p * 2 if bias_p is not None else 0
+    shared = 0
+    if bias_p is not None:
+        bias_bytes = block_q * Skv_p * bias_p.dtype.itemsize
+        if bias.shape[0] > 1:
+            # batch-varying bias: each of the nb batch rows streams its own
+            # (block_q, Skv_p) block — count it per row, not as one shared copy
+            row_bytes += bias_bytes
+        else:
+            shared = bias_bytes
     nb = _pick_nb(B, row_bytes, shared)
 
     operands = [qt, kt, vt]
@@ -598,10 +606,22 @@ def _flash_backward(res, g, causal, scale, block_q=None, block_kv=None):
         # broadcasts over batch, consecutive steps revisit the same output
         # block, the legal accumulation pattern on TPU. Head-broadcast bias
         # (rare) is reduced outside the kernel.
-        row_bytes = (2 * block_q * D + 2 * Skv_p * D) * 2 + \
-            Skv_p * 4 + 2 * block_q * 4 + \
-            4 * block_q * block_kv * 4             # s/p/dp/ds temporaries
-        shared = block_q * Skv_p * (2 + 4)  # bias in + dbias out
+        # the (block_q, Skv_p) bias-in + f32 dbias-out blocks dominate at long
+        # sequences; even nb=1 can overflow the scoped-vmem limit (caught on
+        # chip at Skv=2560: 16.5M vs the 16M stack limit) — shrink this
+        # kernel's q-block until the double-buffered set fits
+        bq_db = block_q
+
+        def _db_bytes(bq):
+            row = (2 * bq * D + 2 * Skv_p * D) * 2 + \
+                Skv_p * 4 + 2 * bq * 4 + 4 * bq * block_kv * 4
+            sh = bq * Skv_p * (bias_p.dtype.itemsize + 4)
+            return row, sh
+
+        while (bq_db > 128 and 2 * sum(_db_bytes(bq_db)) > _VMEM_BUDGET
+               and (bq_db // 2) % 8 == 0 and Sq_p % (bq_db // 2) == 0):
+            bq_db //= 2
+        row_bytes, shared = _db_bytes(bq_db)
         nb_b = _pick_nb(B, row_bytes, shared)
 
         def idx_q(h, i, bb):
@@ -620,23 +640,23 @@ def _flash_backward(res, g, causal, scale, block_q=None, block_kv=None):
             return (bb if _Bb > 1 else 0, h, i, 0)
 
         db_specs = [
-            pl.BlockSpec((nb_b, 1, block_q, D), idx_q),
+            pl.BlockSpec((nb_b, 1, bq_db, D), idx_q),
             pl.BlockSpec((nb_b, 1, Skv_p, D), idx_kfull),
             pl.BlockSpec((nb_b, 1, Skv_p, D), idx_kfull),
         ] + ([pl.BlockSpec((B, Skv_p), idx_krow)] if has_krow else []) + [
-            pl.BlockSpec((nb_b, 1, block_q, D), idx_q),
-            pl.BlockSpec((nb_b, 1, block_q, 1), idx_q),
-            pl.BlockSpec((nb_b, 1, block_q, 1), idx_q),
-            pl.BlockSpec((nb_b if Bb > 1 else 1, 1, block_q, Skv_p),
+            pl.BlockSpec((nb_b, 1, bq_db, D), idx_q),
+            pl.BlockSpec((nb_b, 1, bq_db, 1), idx_q),
+            pl.BlockSpec((nb_b, 1, bq_db, 1), idx_q),
+            pl.BlockSpec((nb_b if Bb > 1 else 1, 1, bq_db, Skv_p),
                          idx_bias_in),
         ]
         db = pl.pallas_call(
             functools.partial(_dbias_kernel, has_krow, causal,
-                              batch_broadcast, block_q, block_kv, Skv, Skv_p),
-            grid=(H, Sq_p // block_q, B // nb_b),
+                              batch_broadcast, bq_db, block_kv, Skv, Skv_p),
+            grid=(H, Sq_p // bq_db, B // nb_b),
             in_specs=db_specs,
             out_specs=pl.BlockSpec(
-                (nb_b if Bb > 1 else 1, 1, block_q, Skv_p), idx_dbias),
+                (nb_b if Bb > 1 else 1, 1, bq_db, Skv_p), idx_dbias),
             out_shape=jax.ShapeDtypeStruct((Bb, H, Sq_p, Skv_p), jnp.float32),
             interpret=_INTERPRET,
         )(*operands_all)

@@ -124,14 +124,25 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         out_dim = self.out_dim or x.shape[-1]
         if self.quant:
+            if not deterministic:
+                raise ValueError(
+                    "quant_int8 is serving-only: round() has zero gradient, "
+                    "so training through QDense silently learns nothing — "
+                    "disable quant_int8 for training")
             from x2vlm_tpu.ops.quant import QDense
-            dense = lambda feat, name: QDense(feat, dtype=self.dtype, name=name)
+
+            # fuse the activation into fc1's dequant epilogue (one kernel,
+            # no intermediate HBM round-trip)
+            act_name = ("gelu_fast" if self.act is gelu_fast else "gelu")
+            x = QDense(self.hidden_dim, dtype=self.dtype, name="fc1")(
+                x, act=act_name)
+            x = QDense(out_dim, dtype=self.dtype, name="fc2")(x)
         else:
             dense = lambda feat, name: nn.Dense(
                 feat, dtype=self.dtype, param_dtype=jnp.float32, name=name)
-        x = dense(self.hidden_dim, "fc1")(x)
-        x = self.act(x)
-        x = dense(out_dim, "fc2")(x)
+            x = dense(self.hidden_dim, "fc1")(x)
+            x = self.act(x)
+            x = dense(out_dim, "fc2")(x)
         if self.dropout_rate > 0.0:
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
@@ -216,6 +227,38 @@ class MultiHeadAttention(nn.Module):
             k = dense(bk, "key")(kv_src)
             v = dense(bv, "value")(kv_src)
 
+        # short self-attention (text/fusion towers, S ≈ 40): the batched
+        # (B·H, S, S) matmuls pay a fixed ~0.4 µs/batched-element MXU latency
+        # (a shape floor, CLAUDE.md) — route through the block-diagonal
+        # Pallas kernel, which does all heads of a row in one matmul pair on
+        # the projection layout (no head-split transposes at all)
+        if (kv is None and cache is None and mask is None and bias is None
+                and not causal and kv_gather_idx is None and Sq <= 64
+                and impl != "xla"):
+            # (on non-TPU backends tiny_block_attention runs the same math
+            # via its XLA reference path — tests stay backend-agnostic)
+            from x2vlm_tpu.ops.tiny_attention import tiny_block_attention
+
+            drop_rng = None
+            if self.attn_dropout_rate > 0.0 and not deterministic:
+                drop_rng = self.make_rng("dropout")
+            out = tiny_block_attention(
+                q, k, v, num_heads=self.num_heads, key_mask=key_mask,
+                dropout_rate=self.attn_dropout_rate, dropout_rng=drop_rng,
+                deterministic=deterministic,
+                scale=self.scale if self.scale is not None
+                else head_dim ** -0.5)
+            if self.quant:
+                from x2vlm_tpu.ops.quant import QDense
+                out = QDense(C, dtype=self.dtype, name="out")(out)
+            else:
+                out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                               name="out")(out)
+            if self.proj_dropout_rate > 0.0:
+                out = nn.Dropout(self.proj_dropout_rate)(
+                    out, deterministic=deterministic)
+            return out
+
         # (B, S, inner) → (B, H, S, D): the TPU-native attention layout. The
         # reshape+transpose fuses into the projection matmul's output — a
         # standalone transpose of the activation costs ~1 ms at 224px/B=128
@@ -225,8 +268,15 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(Bkv, k.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(Bkv, v.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
         if kv_gather_idx is not None:
-            k = jnp.take(k, kv_gather_idx, axis=0)
-            v = jnp.take(v, kv_gather_idx, axis=0)
+            # cross-batch gather of the unique-KV panels: all-gather once,
+            # take shard-locally, pin back to the query's batch sharding
+            # (avoids SPMD involuntary full remat)
+            from x2vlm_tpu.core import mesh as mesh_lib
+
+            k = mesh_lib.constrain_replicated(k)
+            v = mesh_lib.constrain_replicated(v)
+            k = mesh_lib.constrain_batch(jnp.take(k, kv_gather_idx, axis=0))
+            v = mesh_lib.constrain_batch(jnp.take(v, kv_gather_idx, axis=0))
 
         if cache is not None:
             # Static-shape incremental decode (replaces the reference's

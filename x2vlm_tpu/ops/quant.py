@@ -44,7 +44,13 @@ def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 class QDense(nn.Module):
-    """Drop-in int8 replacement for ``nn.Dense`` (identical param tree)."""
+    """Drop-in int8 replacement for ``nn.Dense`` (identical param tree).
+
+    On TPU the whole pipeline (per-token quantize → int8 MXU matmul →
+    dequant/bias/act) runs as ONE fused Pallas kernel
+    (ops/int8_matmul.py) — the XLA-level epilogues were measured to cost
+    more than the int8 matmul win. ``act`` ("gelu"/"gelu_fast") fuses the
+    following activation into the epilogue (used by Mlp's fc1)."""
 
     features: int
     use_bias: bool = True
@@ -52,21 +58,33 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, xq: Optional[jnp.ndarray] = None,
-                 sx: Optional[jnp.ndarray] = None):
+                 sx: Optional[jnp.ndarray] = None,
+                 act: Optional[str] = None):
+        from x2vlm_tpu.ops.int8_matmul import (
+            _INTERPRET, int8_matmul, int8_matmul_xla, quantize_weight,
+        )
+
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_features, self.features), jnp.float32)
-        if xq is None:
-            xq, sx = quantize_act(x)
-        wmax = jnp.max(jnp.abs(kernel), axis=0, keepdims=True)   # (1, out)
-        sw = jnp.maximum(wmax, 1e-6) / 127.0
-        wq = jnp.round(kernel / sw).astype(jnp.int8)
-        out = jax.lax.dot_general(
-            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        out = out.astype(jnp.float32) * sx * sw
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
-            out = out + bias
-        return out.astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) if self.use_bias \
+            else None
+        wq, sw = quantize_weight(kernel)
+        if jax.default_backend() == "tpu" or _INTERPRET:
+            return int8_matmul(x, wq, sw, bias, act=act,
+                               out_dtype=self.dtype)
+        # CPU/GPU fallback (tests): identical math via XLA; the pre-shared
+        # (xq, sx) pair from quantize_act is honored when given
+        if xq is not None:
+            out = jax.lax.dot_general(
+                xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = out.astype(jnp.float32) * sx * sw
+            if bias is not None:
+                out = out + bias
+            from x2vlm_tpu.ops.int8_matmul import _apply_act
+
+            return _apply_act(act, out).astype(self.dtype)
+        return int8_matmul_xla(x, wq, sw, bias, act=act,
+                               out_dtype=self.dtype)

@@ -44,7 +44,8 @@ from x2vlm_tpu.train import (
 
 TASKS = ("pretrain", "retrieval", "xretrieval", "wit", "xflickrco",
          "video_retrieval", "vqa", "xgqa", "nlvr", "marvl",
-         "grounding", "captioning", "classification", "xvnli", "video_qa")
+         "grounding", "captioning", "classification", "xvnli", "video_qa",
+         "next_qa_mc")
 
 
 def parse_args(argv=None):
@@ -89,9 +90,15 @@ def setup(args):
     return cfg, mesh
 
 
-def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=()):
+def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=(),
+                   fsdp: int = 1):
     """Reference optim.py:26-104 param groups: base lr, per-tower vision/text/
-    cross lr overrides, and lr_mult for freshly-initialized params."""
+    cross lr overrides, and lr_mult for freshly-initialized params.
+
+    With replicated optimizer state (fsdp == 1) the update runs in flat-vector
+    mode (train/optim.py _flat_adamw — fused kernels, same math); per-leaf
+    fsdp partition rules need the tree layout, so fsdp > 1 keeps the chain.
+    Override with config ``flat_optimizer: false``."""
     opt = cfg.get("optimizer", {})
     sched_cfg = cfg.get("schedular", {})
     base_lr = float(opt.get("lr", sched_cfg.get("lr", 1e-4)))
@@ -112,6 +119,7 @@ def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=()):
         text_lr_scale=float(opt.get("text_lr", base_lr)) / base_lr,
         cross_lr_scale=float(opt.get("cross_lr", base_lr)) / base_lr,
         labels=labels,
+        flatten=cfg.get("flat_optimizer", fsdp == 1),
     )
 
 
@@ -205,7 +213,7 @@ def _train_state_and_loop(args, cfg, mesh, model, mcfg, variables, missing,
     tx = make_optimizer(cfg, variables["params"],
                         total_steps=steps_per_epoch * epochs,
                         fusion_layer=mcfg.text.fusion_layer,
-                        fresh_paths=missing)
+                        fresh_paths=missing, fsdp=args.fsdp)
     state = create_train_state(variables, tx)
     state, resumed_step = maybe_resume(args, state)
     state = apply_fsdp(state, mesh)
@@ -213,8 +221,15 @@ def _train_state_and_loop(args, cfg, mesh, model, mcfg, variables, missing,
     step_fn = make_train_step(model, tx, accum_steps=accum)
 
     def save_fn(state, epoch, best=False):
+        # per-epoch save (reference Retrieval.py:363-396 writes
+        # checkpoint_{epoch}); best epochs additionally land in ckpt_best
+        # (reference checkpoint_best.pth)
         ckpt_lib.save_train_state(
             os.path.join(args.output_dir, "ckpt"), state, int(state.step))
+        if best:
+            ckpt_lib.save_train_state(
+                os.path.join(args.output_dir, "ckpt_best"), state,
+                int(state.step))
 
     return train_epochs(
         model, state, step_fn, train_loader, num_epochs=epochs,
@@ -257,7 +272,7 @@ def run_retrieval(args, cfg, mesh, task="retrieval"):
     from x2vlm_tpu.tasks.retrieval import evaluate_retrieval
 
     model, mcfg = build_model(cfg, "retrieval")
-    evaluate_only = args.evaluate or task == "video_retrieval"
+    evaluate_only = args.evaluate
     train_ds, test_ds = create_dataset(task, cfg, evaluate=evaluate_only,
                                        rng=random.Random(args.seed))
 
@@ -379,8 +394,10 @@ def run_vqa(args, cfg, mesh, task="vqa"):
 
     class _VQALoader(MapLoader):
         def __iter__(self):
+            # seeded per-epoch rng → reproducible answer-row truncation
+            rng = random.Random(args.seed * 1000003 + self.epoch)
             for batch_samples in self._raw_batches():
-                yield vqa_collate(batch_samples, answers_per_batch)
+                yield vqa_collate(batch_samples, answers_per_batch, rng=rng)
 
         def _raw_batches(self):
             from x2vlm_tpu.data.loader import batch_indices
@@ -402,21 +419,48 @@ def run_vqa(args, cfg, mesh, task="vqa"):
         example = jax.tree_util.tree_map(jnp.asarray, example)
 
     def eval_one(ds, lang=None):
+        from x2vlm_tpu.evalkit.vqa import exact_match_accuracy, vqa_eval
+        from x2vlm_tpu.tasks.collect import collect_results
+
         results = evaluate_vqa(
             model, eval_one.variables, ds, ds.answer_list, ds.answer_ids,
             ds.answer_atts, k_test=cfg.get("k_test", 128),
             batch_size=cfg.get("batch_size_test", 32),
             host_id=jax.process_index(), num_hosts=jax.process_count())
         tag = f"_{lang}" if lang else ""
-        out = os.path.join(args.output_dir,
-                           f"vqa_result{tag}_host{jax.process_index()}.json")
-        with open(out, "w") as f:
+        # per-host shard (reference dataset/utils.py:208-244 rank files) ...
+        shard = os.path.join(args.output_dir,
+                             f"vqa_result{tag}_host{jax.process_index()}.json")
+        with open(shard, "w") as f:
             json.dump(results, f)
-        return {"n": len(results)}
+        # ... merged across hosts, then scored with the official protocol
+        # when the test split carries answers (reference VQA.py:94-116,176)
+        merged = collect_results(results, dedup_key="question_id")
+        if jax.process_index() == 0:
+            with open(os.path.join(args.output_dir,
+                                   f"vqa_result{tag}.json"), "w") as f:
+                json.dump(merged, f)
+        out = {"n": len(merged)}
+        gts = ds.gt_answers()
+        if gts:
+            # official 10-answer protocol (meaningful for VQAv2-style multi-
+            # answer gts) + the reference's exact-match acc (VQA.py:94-116)
+            out.update(vqa_eval(merged, gts))
+            out["acc"] = exact_match_accuracy(merged, gts)
+        return out
+
+    _gts0 = (next(iter(test_ds.values())) if isinstance(test_ds, dict)
+             else test_ds).gt_answers()
+    # best-model metric: the official protocol needs multiple human answers
+    # per question to be meaningful; single-answer sets track exact match
+    metric_key = None
+    if _gts0:
+        metric_key = ("overall" if max(len(v) for v in _gts0.values()) >= 4
+                      else "acc")
 
     def eval_fn(v):
         eval_one.variables = v
-        return eval_multi(eval_one, test_ds)
+        return eval_multi(eval_one, test_ds, mean_key=metric_key)
 
     if args.evaluate:
         first = next(iter(test_ds.values())) if isinstance(test_ds, dict) else test_ds
@@ -430,7 +474,7 @@ def run_vqa(args, cfg, mesh, task="vqa"):
                    "answer_index": jnp.zeros((2,), jnp.int32)}
 
     _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
-                     eval_fn=eval_fn)
+                     eval_fn=eval_fn, metric_key=metric_key)
 
 
 def run_captioning(args, cfg, mesh, task="captioning"):
@@ -501,7 +545,7 @@ def _run_captioning_scst(args, cfg, mesh, model, mcfg, tokenizer, example,
         tx = make_optimizer(cfg, variables["params"],
                             total_steps=steps_per_epoch * epochs,
                             fusion_layer=mcfg.text.fusion_layer,
-                            fresh_paths=missing)
+                            fresh_paths=missing, fsdp=args.fsdp)
         state = create_train_state(variables, tx)
         state, _ = maybe_resume(args, state)
         state = apply_fsdp(state, mesh)
@@ -542,15 +586,21 @@ def run_classification(args, cfg, mesh, task="classification"):
     if task == "classification":
         task = {"video_qa": "video_qa"}.get(cfg.get("dataset_type"),
                                             cfg.get("dataset_type", "xvnli"))
-    if task in ("video_qa", "vqa_msrvtt", "vqa_msvd"):
-        with open(cfg["answer_list"]) as f:
-            cfg["num_labels"] = len(json.load(f))
+    if task in ("next_qa_mc", "video_qa_mc"):
+        # K-option multiple choice (NExT-QA MC): softmax over option scores,
+        # no answer vocabulary
+        model_task = "multiple_choice"
     else:
-        cfg.setdefault("num_labels", 3)
+        model_task = "classification"
+        if task in ("video_qa", "vqa_msrvtt", "vqa_msvd"):
+            with open(cfg["answer_list"]) as f:
+                cfg["num_labels"] = len(json.load(f))
+        else:
+            cfg.setdefault("num_labels", 3)
 
     train_ds, test_ds = create_dataset(task, cfg, evaluate=args.evaluate,
                                        rng=random.Random(args.seed))
-    model, mcfg = build_model(cfg, "classification")
+    model, mcfg = build_model(cfg, model_task)
 
     loader = example = None
     if not args.evaluate:
@@ -756,7 +806,7 @@ def run_pretrain(args, cfg, mesh):
         total_steps = steps_per_epoch * sched_cfg.get("epochs", 3)
         tx = make_optimizer(cfg, variables["params"], total_steps,
                             fusion_layer=mcfg.text.fusion_layer,
-                            fresh_paths=missing)
+                            fresh_paths=missing, fsdp=args.fsdp)
         state = create_train_state(variables, tx)
         state, start_step = maybe_resume(args, state)
         state = apply_fsdp(state, mesh)
@@ -820,6 +870,7 @@ def main(argv=None):
         "classification": run_classification,
         "xvnli": run_classification,
         "video_qa": run_classification,
+        "next_qa_mc": run_classification,
     }
     runner = runners[args.task]
     if args.task == "pretrain":

@@ -60,15 +60,18 @@ def train_epochs(
             logger.update(**{k: float(v) for k, v in metrics.items()})
 
         record = {"epoch": epoch, **logger.to_dict()}
+        is_best = False
         if eval_fn is not None:
             eval_metrics = eval_fn(state)
             record.update({f"eval_{k}": v for k, v in eval_metrics.items()})
             if metric_key and eval_metrics.get(metric_key, float("-inf")) > best:
                 best = eval_metrics[metric_key]
-                if save_fn:
-                    save_fn(state, epoch, best=True)
-        elif save_fn:
-            save_fn(state, epoch, best=False)
+                is_best = True
+        if save_fn:
+            # save every epoch (reference saves per-epoch regardless of eval,
+            # Retrieval.py:363-396); `best` flags the best-so-far epoch so the
+            # checkpointer can additionally keep it aside
+            save_fn(state, epoch, best=is_best)
         if output_dir:
             append_log(output_dir, record)
     return state

@@ -126,6 +126,7 @@ def pretrain_loop(
         return logger.log_every(range(start_step, num_steps), log_every,
                                 header="Pretrain:", total=num_steps)
 
+    last_saved = -1
     for it in log_iter():
         key = jax.random.fold_in(rng_key, it)
         calc_itm = stop_calc_itm_after is None or it < stop_calc_itm_after
@@ -176,5 +177,11 @@ def pretrain_loop(
 
         if checkpoint_fn and checkpoint_every and (it + 1) % checkpoint_every == 0:
             checkpoint_fn(state, it + 1)
+            last_saved = it + 1
+
+    # always persist the final state (reference Pretrain.py:366-413 saves at
+    # epoch end; runs shorter than ckpt_frequent_step must not exit empty)
+    if checkpoint_fn and last_saved != num_steps:
+        checkpoint_fn(state, num_steps)
 
     return state

@@ -60,7 +60,11 @@ def _encode_row(token_ids: List[int], prompt_ids: List[int], *,
     pos = pos + list(range(nxt, nxt + pad))
     n_mask = len(masked_pos)
     pad_m = max_masks - n_mask
-    weight = [1.0] * n_mask + [0.0] * pad_m
+    # a caption longer than L can leave masked slots beyond the truncated
+    # sequence — zero their weight so the clamped mlm gather never trains on
+    # the wrong row
+    weight = [1.0 if mp < L else 0.0 for mp in masked_pos] + [0.0] * pad_m
+    masked_pos = [min(mp, L - 1) for mp in masked_pos]
     masked_pos = masked_pos + [0] * pad_m
     masked_ids = masked_ids + [-100] * pad_m
     return {

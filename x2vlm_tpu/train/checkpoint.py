@@ -64,20 +64,53 @@ def _set(tree: dict, path: str, value: np.ndarray):
 def _interp_rel_pos_table(table: np.ndarray, src_window: int, dst_window: int
                           ) -> np.ndarray:
     """Resize a BEiT relative-position bias table from a (2*sw-1)² grid to a
-    (2*dw-1)² grid (bilinear over the 2-D offset lattice), keeping the 3
-    cls rows. The reference uses a geometric-progression grid + cubic
-    interpolation (beit2.py:473-604); bilinear over the regular lattice is the
-    standard alternative (as used for Swin) and matches within noise for the
-    fine-tune resolutions used here."""
+    (2*dw-1)² grid, keeping the 3 cls rows — the reference's exact scheme
+    (beit2.py:473-604): the source offsets are laid out on a geometric-
+    progression grid whose ratio q is bisected so the grid spans the target
+    half-width, then each head is cubically interpolated onto the integer
+    target lattice. Cubic interpolation uses RectBivariateSpline, scipy's
+    documented bug-for-bug replacement for the removed interp2d on regular
+    grids."""
+    from scipy.interpolate import RectBivariateSpline
+
     src = 2 * src_window - 1
     dst = 2 * dst_window - 1
     n_extra = 3
     heads = table.shape[1]
-    body = table[:-n_extra].reshape(src, src, heads)
-    # bilinear resize via jax.image on host
-    resized = jax.image.resize(jnp.asarray(body), (dst, dst, heads), "bilinear")
-    resized = np.asarray(resized).reshape(dst * dst, heads)
-    return np.concatenate([resized, table[-n_extra:]], axis=0)
+    body = table[:-n_extra]
+
+    # bisect the geometric-progression ratio (reference beit2.py:534-545)
+    def geometric_progression(a, r, n):
+        return a * (1.0 - r ** n) / (1.0 - r)
+
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        if geometric_progression(1, q, src // 2) > dst // 2:
+            right = q
+        else:
+            left = q
+
+    dis = []
+    cur = 1.0
+    for i in range(src // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    x = np.asarray(r_ids + [0] + dis, np.float64)
+
+    t = dst // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+
+    out = np.empty((dst * dst, heads), body.dtype)
+    k = min(3, len(x) - 1)  # tiny test windows can't support a full cubic
+    for h in range(heads):
+        z = body[:, h].reshape(src, src).astype(np.float64)
+        # interp2d(x, y, z) semantics: z[i, j] is the value at (x[j], y[i]);
+        # RectBivariateSpline wants the first axis to match its first grid
+        spl = RectBivariateSpline(x, x, z, kx=k, ky=k, s=0)
+        out[:, h] = spl(dx, dx).reshape(-1)
+    return np.concatenate([out, table[-n_extra:]], axis=0)
 
 
 def convert_xvlm_state_dict(

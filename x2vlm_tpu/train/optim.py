@@ -100,12 +100,30 @@ def create_optimizer(
     text_lr_scale: float = 1.0,
     cross_lr_scale: float = 1.0,
     labels: Any = None,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with the reference's group structure. ``labels`` from
-    ``param_labels``; None = single group."""
+    ``param_labels``; None = single group.
+
+    ``flatten=True`` runs the mathematically-identical update over ONE flat
+    fp32 vector (leaves grouped into contiguous same-coefficient segments):
+    a few fused kernels instead of ~10 tiny kernels × hundreds of leaves
+    (measured ~9 → ~4 ms/step at base scale). Use only with replicated
+    optimizer state (fsdp == 1) — the flat state conflicts with per-leaf
+    fsdp partition rules, and its checkpoint layout differs from the tree
+    optimizer's."""
 
     decay_mask = jax.tree_util.tree_map_with_path(
         lambda path, leaf: not _is_no_decay(_path_str(path), leaf), params)
+
+    if flatten:
+        return _flat_adamw(
+            params, schedule, weight_decay=weight_decay,
+            clip_grad_norm=clip_grad_norm, b1=b1, b2=b2, eps=eps,
+            decay_mask=decay_mask, labels=labels,
+            group_scale={"vision": vision_lr_scale, "text": text_lr_scale,
+                         "cross": cross_lr_scale, "other": 1.0,
+                         "fresh": lr_mult})
 
     group_scale = {
         "vision": vision_lr_scale,
@@ -139,6 +157,107 @@ def create_optimizer(
     ]
     tx = optax.chain(*chain)
     return _with_temp_projection(tx)
+
+
+def _flat_adamw(params, schedule: Callable, *, weight_decay: float,
+                clip_grad_norm: Optional[float], b1: float, b2: float,
+                eps: float, decay_mask, labels, group_scale
+                ) -> optax.GradientTransformation:
+    """Flat-vector AdamW exactly matching the chain
+    clip → scale_by_adam → add_decayed_weights(mask) → group-scale → -lr,
+    plus the temp projection.
+
+    Leaves are permuted so that all leaves sharing a (decay, lr-scale)
+    coefficient pair form one contiguous segment of the flat vector; the
+    per-group affine ``(u + wd·p) · (-lr·scale)`` then runs as ≤ ~10 fused
+    segment ops instead of one kernel per leaf."""
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [l for _, l in leaves_with_path]
+    paths = [_path_str(p) for p, _ in leaves_with_path]
+    n = len(leaves)
+    mask_leaves = jax.tree_util.tree_leaves(decay_mask)
+    label_leaves = (jax.tree_util.tree_leaves(labels) if labels is not None
+                    else ["other"] * n)
+    assert len(mask_leaves) == n and len(label_leaves) == n
+
+    coeff = [(bool(mask_leaves[i]), float(group_scale[label_leaves[i]]))
+             for i in range(n)]
+    perm = sorted(range(n), key=lambda i: coeff[i])
+    sizes = [int(leaves[i].size) for i in range(n)]
+    shapes = [leaves[i].shape for i in range(n)]
+    dtypes = [leaves[i].dtype for i in range(n)]
+    total = sum(sizes)
+
+    # contiguous (start, end, decay?, scale) segments in permuted order
+    segments = []
+    ofs = 0
+    for i in perm:
+        if segments and segments[-1][2:] == coeff[i]:
+            segments[-1] = (segments[-1][0], ofs + sizes[i]) + coeff[i]
+        else:
+            segments.append((ofs, ofs + sizes[i]) + coeff[i])
+        ofs += sizes[i]
+
+    # position of the contrastive temp scalar in the flat vector
+    temp_pos = None
+    ofs = 0
+    for i in perm:
+        if paths[i].endswith("temp") and len(shapes[i]) == 0:
+            temp_pos = ofs
+        ofs += sizes[i]
+
+    def _flatten(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate(
+            [ls[i].reshape(-1).astype(jnp.float32) for i in perm])
+
+    def _unflatten(vec):
+        out = [None] * n
+        ofs = 0
+        for i in perm:
+            out[i] = vec[ofs: ofs + sizes[i]].reshape(shapes[i]).astype(
+                dtypes[i])
+            ofs += sizes[i]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init_fn(params_):
+        # distinct buffers — mu/nu aliasing one array breaks jit donation
+        # ("Attempt to donate the same buffer twice")
+        return {"mu": jnp.zeros((total,), jnp.float32),
+                "nu": jnp.zeros((total,), jnp.float32),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params_=None):
+        g = _flatten(updates)
+        if clip_grad_norm is not None:
+            # optax.clip_by_global_norm semantics
+            g_norm = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.where(g_norm < clip_grad_norm, 1.0,
+                              clip_grad_norm / g_norm)
+        count = state["count"] + 1
+        mu = b1 * state["mu"] + (1.0 - b1) * g
+        nu = b2 * state["nu"] + (1.0 - b2) * g * g
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1 ** c)
+        nu_hat = nu / (1.0 - b2 ** c)
+        u = mu_hat / (jnp.sqrt(nu_hat) + eps)
+        lr = schedule(state["count"])
+        p = _flatten(params_) if params_ is not None else None
+        pieces = []
+        for start, end, decay, scale in segments:
+            seg = u[start:end]
+            if decay and weight_decay and p is not None:
+                seg = seg + weight_decay * p[start:end]
+            pieces.append(seg * (-lr * scale))
+        flat_u = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        if temp_pos is not None and p is not None:
+            pt = p[temp_pos]
+            tu = jnp.clip(pt + flat_u[temp_pos], 0.001, 0.5) - pt
+            flat_u = flat_u.at[temp_pos].set(tu)
+        return _unflatten(flat_u), {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _with_temp_projection(tx: optax.GradientTransformation):
