@@ -282,3 +282,39 @@ def test_swin_checkpoint_import_covers_tree(rng):
     assert np.abs(t8).max() <= np.abs(src_table).max() * 1.5
     out = model8.apply({"params": tree8}, x8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resampler_wired_as_video_encoding(rng):
+    """`video_encoding: resampler` routes 5-D video input through the
+    PerceiverResampler (fixed-latent summary) instead of frame avg-pooling —
+    the opt-in path for the reference's unwired resampler capability."""
+    import jax
+    from x2vlm_tpu.models import BertConfig, BEiT2Config
+    from x2vlm_tpu.models.heads import XVLMForRetrieval
+    from x2vlm_tpu.models.xvlm import XVLMConfig
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=64, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0,
+                        attn_dropout=0.0),
+        embed_dim=16, video_encoding="resampler", frame_len=2,
+        add_frame_pos=True, resampler_depth=1, resampler_latents=6)
+    model = XVLMForRetrieval(cfg, dtype=jnp.float32)
+    frames = jnp.asarray(rng.standard_normal((2, 2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 64, (2, 8)), jnp.int32)
+    atts = jnp.ones((2, 8), jnp.int32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   frames, ids, atts, jnp.arange(2, dtype=jnp.int32),
+                   rng=jax.random.PRNGKey(2), deterministic=True)
+    assert "resampler" in v["params"]["base"]
+    embeds, feat = model.apply(v, frames, method=model.encode_images)
+    # fixed number of latents, not S+1 tokens
+    assert embeds.shape == (2, 6, 32)
+    losses = model.apply(v, frames, ids, atts, jnp.arange(2, dtype=jnp.int32),
+                         rng=jax.random.PRNGKey(3), deterministic=True)
+    assert np.isfinite(float(losses["loss_itc"]))
+    assert np.isfinite(float(losses["loss_itm"]))

@@ -98,6 +98,8 @@ def xvlm_config_from_yaml(config: Dict) -> XVLMConfig:
         video_encoding=config.get("video_encoding", ""),
         frame_len=config.get("frame_len", 1),
         add_frame_pos=config.get("add_frame_pos", False),
+        resampler_depth=config.get("resampler_depth", 2),
+        resampler_latents=config.get("resampler_latents", 64),
     )
     if config.get("model_type", "") in ("xvlm_plus", "cclm") or \
             config.get("replace_text_encoder", False):

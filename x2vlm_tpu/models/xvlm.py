@@ -56,10 +56,14 @@ class XVLMConfig:
     # this size along the batch (exact reference parity: set to the
     # per-device batch size; reference xvlm.py:828-857 samples in-rank only)
     itm_neg_block: int = 0
-    # video (reference xvlm.py:482-501)
-    video_encoding: str = ""          # "" | "avgpool"
+    # video (reference xvlm.py:482-501). "resampler" routes frame tokens
+    # through a Flamingo-style PerceiverResampler (models/resampler.py;
+    # unwired optional capability in the reference) instead of avg-pooling.
+    video_encoding: str = ""          # "" | "avgpool" | "resampler"
     frame_len: int = 1
     add_frame_pos: bool = False
+    resampler_depth: int = 2
+    resampler_latents: int = 64
 
     @classmethod
     def base(cls, image_res: int = 224, **kw) -> "XVLMConfig":
@@ -131,6 +135,12 @@ class XVLMBase(nn.Module):
             self.frame_pos_embed = self.param(
                 "frame_pos_embed", nn.initializers.truncated_normal(0.02),
                 (1, cfg.frame_len, 1, cfg.vision.embed_dim), jnp.float32)
+        if cfg.video_encoding == "resampler":
+            from x2vlm_tpu.models.resampler import PerceiverResampler
+
+            self.resampler = PerceiverResampler(
+                cfg.vision.embed_dim, depth=cfg.resampler_depth,
+                num_latents=cfg.resampler_latents, dtype=self.dtype)
 
     # ---------- embeddings ----------
 
@@ -168,7 +178,12 @@ class XVLMBase(nn.Module):
         embeds = embeds.reshape((B, F) + embeds.shape[1:])  # (B, F, S+1, C)
         if cfg.video_encoding and cfg.add_frame_pos:
             embeds = embeds + self.frame_pos_embed[:, :F].astype(embeds.dtype)
-        pooled = jnp.mean(embeds, axis=1)  # (B, S+1, C)
+        if cfg.video_encoding == "resampler":
+            # fixed-size latent summary of the whole frame stream
+            # (Flamingo-style; opt-in via `video_encoding: resampler`)
+            pooled = self.resampler(embeds)  # (B, num_latents, C)
+        else:
+            pooled = jnp.mean(embeds, axis=1)  # (B, S+1, C)
         atts = jnp.ones(pooled.shape[:2], jnp.int32)
         return pooled, atts
 

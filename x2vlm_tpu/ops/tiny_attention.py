@@ -109,9 +109,9 @@ def _fwd_kernel(H, S, D, has_mask, has_drop, NB,
             q, kb[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (S, H*S)
         if has_mask:
-            krow = km_ref[r]  # (S,) additive 0/-inf over key positions
+            krow = km_ref[r]  # (1, S) additive 0/-inf over key positions
             wide = jax.lax.dot_general(
-                krow[None, :], esel, (((1,), (0,)), ((), ())),
+                krow, esel, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (1, H*S)
             logits = logits + wide
         p = _headwise_softmax(logits, H, S)
@@ -217,8 +217,11 @@ def _tiny_fwd_impl(qs, k, v, krow, dmask, H):
     operands = [qs, k, v]
     in_specs = [pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0))] * 3
     if has_mask:
-        operands.append(krow)
-        in_specs.append(pl.BlockSpec((NB, S), lambda b: (b, 0)))
+        # (B, 1, S): a 2-D (NB, S) block would put NB in the Mosaic sublane
+        # slot, which must be %8 or ==B — fails for e.g. B=12. With the unit
+        # middle dim the block's last two dims always equal the array dims.
+        operands.append(krow[:, None, :])
+        in_specs.append(pl.BlockSpec((NB, 1, S), lambda b: (b, 0, 0)))
     if has_drop:
         operands.append(dmask)
         in_specs.append(pl.BlockSpec((NB, S, H * S), lambda b: (b, 0, 0)))
