@@ -26,7 +26,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_pretrain_step():
+def bench_vqa():
+    """VQA answer-ranking inference throughput (BASELINE.md tracked metric:
+    'VQA samples/sec'): encode question+image, rank the official-protocol
+    answer list (~3.1k candidates) with k_test=128 rerank — the reference's
+    VQA.py:126-157 protocol shape."""
+    from x2vlm_tpu.models import XVLMConfig
+    from x2vlm_tpu.models.generation import XVLMForVQA
+
+    cfg = XVLMConfig.base(image_res=480)
+    model = XVLMForVQA(cfg, dtype=jnp.bfloat16)
+    Q, Lq, A, La, K = 16, 24, 3128, 8, 128
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((Q, 480, 480, 3)), jnp.bfloat16)
+    q_ids = jnp.asarray(rng.integers(1, cfg.text.vocab_size, (Q, Lq)), jnp.int32)
+    q_atts = jnp.ones((Q, Lq), jnp.int32)
+    a_ids = jnp.asarray(rng.integers(1, cfg.text.vocab_size, (A, La)), jnp.int32)
+    a_atts = jnp.ones((A, La), jnp.int32)
+    variables = jax.jit(lambda k: model.init(
+        k, {"image": image, "question_ids": q_ids, "question_atts": q_atts,
+            "answer_ids": a_ids[:Q], "answer_atts": a_atts[:Q],
+            "answer_index": jnp.arange(Q, dtype=jnp.int32),
+            "answer_weights": jnp.ones((Q,), jnp.float32)},
+        deterministic=True))(jax.random.PRNGKey(0))
+
+    iters = 4
+
+    @jax.jit
+    def loop(params, image, seed):
+        def body(i, carry):
+            img = image + (seed + i.astype(jnp.float32) * 1e-6
+                           ).astype(jnp.bfloat16)
+            ids, probs = model.apply(
+                params, {"image": img, "question_ids": q_ids,
+                         "question_atts": q_atts, "answer_ids": a_ids,
+                         "answer_atts": a_atts},
+                k=K, method=model.predict)
+            return carry + jnp.sum(probs).astype(jnp.float32) + \
+                jnp.sum(ids).astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, seed)
+
+    val = float(loop(variables, image, jnp.float32(0.0)))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        val = float(loop(variables, image, jnp.float32(val * 1e-12)))
+        times.append(time.perf_counter() - t0)
+    value = Q * iters / min(times) / max(jax.device_count(), 1)
+    print(json.dumps({
+        "metric": "vqa_rank_samples_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": 0.0,  # reference publishes no VQA throughput numbers
+    }))
+
+
+def bench_pretrain_step(size: str = "base"):
     import dataclasses
 
     from x2vlm_tpu.models import XVLMConfig, XVLMForPretrain
@@ -35,9 +90,19 @@ def bench_pretrain_step():
         create_optimizer, create_train_state, lr_schedule, make_train_step,
     )
 
-    cfg = XVLMConfig.base(image_res=224)
+    if size == "large":
+        # remat keeps the 593M model's activations inside 16 GB HBM with
+        # the fp32 Adam state resident
+        cfg = XVLMConfig.large(image_res=224)
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, remat=True),
+            text=dataclasses.replace(cfg.text, remat=True))
+        B = 16
+    else:
+        cfg = XVLMConfig.base(image_res=224)
+        B = 32
     model = XVLMForPretrain(cfg, dtype=jnp.bfloat16)
-    B, seq, n_mask = 32, 40, 12
+    seq, n_mask = 40, 12
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.standard_normal((B, 224, 224, 3)), jnp.bfloat16),
@@ -81,7 +146,7 @@ def bench_pretrain_step():
         times.append(time.perf_counter() - t0)
     step_s = min(times) / STEPS
     print(json.dumps({
-        "metric": "pretrain_step_time_base_b32",
+        "metric": f"pretrain_step_time_{size}_b{B}",
         "value": round(step_s * 1000, 1),
         "unit": "ms/step",
         "vs_baseline": 0.0,  # reference publishes no step-time numbers
@@ -130,6 +195,10 @@ def main():
         return supervised_main()
     if os.environ.get("X2VLM_BENCH") == "pretrain":
         return bench_pretrain_step()
+    if os.environ.get("X2VLM_BENCH") == "pretrain_large":
+        return bench_pretrain_step("large")
+    if os.environ.get("X2VLM_BENCH") == "vqa":
+        return bench_vqa()
     from x2vlm_tpu.models import XVLMConfig, XVLMForRetrieval
 
     import dataclasses

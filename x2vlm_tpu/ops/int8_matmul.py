@@ -51,8 +51,12 @@ def _gelu_fast(x):
 def _apply_act(act, x):
     if act == "gelu_fast":
         return _gelu_fast(x)
-    if act == "gelu":  # exact erf GELU
-        return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+    if act == "gelu":
+        # erf GELU via the tanh-form minimax fit (ops/layers.gelu_exact) —
+        # lax.erf has NO Pallas TPU lowering, so the erf form would fail to
+        # compile on real hardware; the fit is ≤4.8e-7 off and faster anyway
+        from x2vlm_tpu.ops.layers import gelu_exact
+        return gelu_exact(x)
     return x
 
 
@@ -64,15 +68,24 @@ def _kernel(act, has_bias, out_dtype, K, *refs):
     if has_bias:
         b_ref = refs[i]; i += 1    # (1, TN) f32
     o_ref = refs[i]; i += 1        # (TM, TN) out_dtype
+    xq_s = refs[i]; i += 1         # (TM, K) int8 scratch
+    sx_s = refs[i]; i += 1         # (TM, 128) f32 scratch (col 0 used)
 
-    x = x_ref[...].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)      # (TM, 1)
-    sx = jnp.maximum(amax, 1e-6) / 127.0
-    xq = jnp.round(x / sx).astype(jnp.int8)
+    # The grid sweeps N tiles innermost (same x block index) — quantize the
+    # row block ONCE on the first N tile and reuse the int8 rows + scales
+    # from VMEM scratch for the remaining N/TN - 1 tiles.
+    @pl.when(pl.program_id(1) == 0)
+    def _quantize():
+        x = x_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)   # (TM, 1)
+        sx = jnp.maximum(amax, 1e-6) / 127.0
+        xq_s[...] = jnp.round(x / sx).astype(jnp.int8)
+        sx_s[...] = jnp.broadcast_to(sx, sx_s.shape)
+
     acc = jax.lax.dot_general(
-        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        xq_s[...], wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                    # (TM, TN)
-    out = acc.astype(jnp.float32) * sx * sw_ref[...]
+    out = acc.astype(jnp.float32) * sx_s[:, 0:1] * sw_ref[...]
     if has_bias:
         out = out + b_ref[...]
     out = _apply_act(act, out)
@@ -125,6 +138,8 @@ def int8_matmul(
         operands.append(bias.reshape(1, N).astype(jnp.float32))
         in_specs.append(pl.BlockSpec((1, tn), lambda i, j: (0, j)))
 
+    from jax.experimental.pallas import tpu as pltpu
+
     kernel = functools.partial(_kernel, act, bias is not None, out_dtype, K)
     out = pl.pallas_call(
         kernel,
@@ -132,6 +147,10 @@ def int8_matmul(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm, K), jnp.int8),
+            pltpu.VMEM((tm, 128), jnp.float32),
+        ],
         interpret=_INTERPRET,
     )(*operands)
     return out[:M].reshape(*lead, N)

@@ -1,9 +1,17 @@
 """Dynamic W8A8 int8 quantization for the serving encode path.
 
-v5e's MXU runs int8×int8→int32 at ~2× the bf16 rate (measured on the shared
-chip: 184 vs 114 TOP/s on an 8k³ chain). The matmul-roofline-bound encode
-towers (projections + FFN) get most of that; attention itself stays bf16
-(the Pallas flash kernel).
+**Measured honestly: on v5e this does NOT beat bf16 at X2VLM shapes.**
+Same-run A/B on the chip (round 3; M=25k rows):
+  fc1 (K=768, N=3072):  bf16 87 TF/s | int8 XLA 78 | int8 Pallas-fused 65
+  fc2 (K=3072, N=768):  bf16 86      | int8 XLA 86 | 69
+  4096³ control:        bf16 87      | int8 XLA 94 | 74
+The earlier "int8 = 1.6× bf16" figure came from a deep-K chained microbench
+that the tunnel's dispatch cache inflates (same benchmark now reports >
+chip peak — unusable); at real model depths the int8 MXU path is at best
+~1.08× and the dynamic-quant stages erase that. The path is kept because
+(a) the param tree is checkpoint-identical so nothing is lost, and (b) on
+hardware where int8 genuinely doubles MXU rate the plumbing is done — but
+enabling it on v5e logs a warning instead of silently de-optimizing.
 
 Scheme — standard dynamic per-token × per-out-channel quantization:
 - weights: symmetric per-output-channel scales from abs-max (quantized
@@ -31,6 +39,20 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_act", "QDense"]
+
+_warned = False
+
+
+def _warn_once():
+    global _warned
+    if not _warned:
+        _warned = True
+        import warnings
+        warnings.warn(
+            "quant_int8: measured SLOWER than bf16 on TPU v5e at X2VLM "
+            "shapes (int8 MXU ≤1.08× bf16 before quant overheads — see "
+            "ops/quant.py header). Keep it off unless your hardware's int8 "
+            "matmul rate is genuinely ~2× bf16.", stacklevel=2)
 
 
 def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -64,6 +86,7 @@ class QDense(nn.Module):
             _INTERPRET, int8_matmul, int8_matmul_xla, quantize_weight,
         )
 
+        _warn_once()
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_features, self.features), jnp.float32)
