@@ -166,6 +166,9 @@ def supervised_main():
         attempt += 1
         budget = min(600, max(60, int(deadline - time.time())))
         env = dict(os.environ, X2VLM_BENCH_CHILD="1")
+        # persistent compile cache: a first attempt that times out mid-compile
+        # still seeds the cache, so retries resume instead of recompiling
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/x2vlm_jax_cache_tpu")
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

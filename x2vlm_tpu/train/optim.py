@@ -226,13 +226,16 @@ def _flat_adamw(params, schedule: Callable, *, weight_decay: float,
         # ("Attempt to donate the same buffer twice")
         return {"mu": jnp.zeros((total,), jnp.float32),
                 "nu": jnp.zeros((total,), jnp.float32),
-                "count": jnp.zeros((), jnp.int32)}
+                "count": jnp.zeros((), jnp.int32),
+                "gnorm": jnp.zeros((), jnp.float32)}
 
     def update_fn(updates, state, params_=None):
         g = _flatten(updates)
+        # pre-clip global norm; stashed in the state so the train step's
+        # grad_norm metric reads it instead of a second full-tree pass
+        g_norm = jnp.sqrt(jnp.sum(g * g))
         if clip_grad_norm is not None:
             # optax.clip_by_global_norm semantics
-            g_norm = jnp.sqrt(jnp.sum(g * g))
             g = g * jnp.where(g_norm < clip_grad_norm, 1.0,
                               clip_grad_norm / g_norm)
         count = state["count"] + 1
@@ -255,7 +258,8 @@ def _flat_adamw(params, schedule: Callable, *, weight_decay: float,
             pt = p[temp_pos]
             tu = jnp.clip(pt + flat_u[temp_pos], 0.001, 0.5) - pt
             flat_u = flat_u.at[temp_pos].set(tu)
-        return _unflatten(flat_u), {"mu": mu, "nu": nu, "count": count}
+        return _unflatten(flat_u), {"mu": mu, "nu": nu, "count": count,
+                                    "gnorm": g_norm}
 
     return optax.GradientTransformation(init_fn, update_fn)
 
