@@ -16,6 +16,7 @@ pretrain train-step time (base @224, batch 32/chip, itc+itm+mlm fwd+bwd+update).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -123,9 +124,11 @@ def bench_pretrain_step(size: str = "base"):
     # Chain N full steps inside ONE jitted scan: per-step time is then pure
     # device time — host-timed single steps include the tunnel's per-call
     # overhead (~tens of ms), which once inflated this metric (CLAUDE.md).
+    # Donating the carried TrainState matches the production loop (donated
+    # step buffers) and removes ~5 ms/step of scan-carry copies (measured).
     STEPS = 5
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi(state, batch, key):
         def body(st, i):
             b = dict(batch,

@@ -178,6 +178,29 @@ def test_converter_vqa_decoder_and_cls_head_keys():
     assert tree["cls_head"]["fc2"]["kernel"].shape == (2 * d, 2)
 
 
+def test_frame_pos_embed_import_and_length_adaptation():
+    """Video stage-2 checkpoints carry absolute_frame_pos_embed
+    (1, frame_len, 1, C); importing into a model with a different frame_len
+    loads the first min(frame_len) frames and keeps fresh init for the rest
+    (reference xvlm.py:603-607)."""
+    rng = np.random.default_rng(0)
+    C = 8
+    src = rng.standard_normal((1, 5, 1, C)).astype(np.float32)
+    tree, unused = convert_xvlm_state_dict({"absolute_frame_pos_embed": src},
+                                           vision_depth=0)
+    assert unused == []
+    for F in (5, 3, 7):
+        init = {"params": {"base": {
+            "frame_pos_embed": jnp.full((1, F, 1, C), 9.0, jnp.float32)}}}
+        params, missing = merge_imported(init, tree)
+        got = np.asarray(params["params"]["base"]["frame_pos_embed"])
+        f = min(5, F)
+        np.testing.assert_allclose(got[:, :f], src[:, :f])
+        if F > 5:
+            assert np.all(got[:, 5:] == 9.0)
+        assert missing == []
+
+
 def test_rel_pos_interpolation_import():
     """224→384-style fine-tune: import a small-window checkpoint into a model
     with a larger patch grid; tables interpolate, everything else transfers."""

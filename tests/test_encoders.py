@@ -51,6 +51,30 @@ def test_int8_quant_encoder_close(rng):
     assert rel < 0.05, rel
 
 
+def test_patch_embed_matches_conv(rng):
+    """PatchEmbed (space-to-depth + matmul) is numerically and
+    parameter-tree identical to the stride=patch nn.Conv it replaces."""
+    import flax.linen as nn
+
+    from x2vlm_tpu.ops.layers import PatchEmbed
+
+    p, C = 8, 24
+    pixels = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    for use_bias in (True, False):
+        conv = nn.Conv(C, kernel_size=(p, p), strides=(p, p), padding="VALID",
+                       use_bias=use_bias, dtype=jnp.float32,
+                       param_dtype=jnp.float32)
+        pe = PatchEmbed(C, p, use_bias=use_bias, dtype=jnp.float32)
+        cvars = conv.init(jax.random.PRNGKey(0), pixels)
+        # same param names/shapes → conv params load directly
+        pvars = jax.tree_util.tree_map(lambda x: x, cvars)
+        ref = conv.apply(cvars, pixels).reshape(2, -1, C)
+        got = pe.apply(pvars, pixels)
+        assert got.shape == ref.shape == (2, 16, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_plain_vit_shapes(rng):
     from x2vlm_tpu.models import ViT, ViTConfig
     cfg = ViTConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,

@@ -62,6 +62,21 @@ def fixture(tmp_path_factory):
     return str(ann_file), str(img_dir), tok
 
 
+def test_merge_row_sharded_ownership():
+    """Each host's owned row range survives verbatim; foreign rows (whatever
+    garbage they hold, including values above the owner's) are discarded —
+    the merge must not depend on the -100 sentinel ordering."""
+    from x2vlm_tpu.tasks.retrieval import merge_row_sharded
+
+    n, m, hosts = 7, 5, 3  # step = 7//3+1 = 3 → ranges [0,3) [3,6) [6,7)
+    rng = np.random.default_rng(0)
+    truth = rng.standard_normal((n, m)).astype(np.float32)
+    gathered = np.full((hosts, n, m), 1e9, np.float32)  # poison foreign rows
+    for h, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 7)]):
+        gathered[h, lo:hi] = truth[lo:hi]
+    np.testing.assert_array_equal(merge_row_sharded(gathered, hosts), truth)
+
+
 def test_itm_eval_perfect_and_random():
     txt2img = {0: 0, 1: 0, 2: 1, 3: 1}
     img2txt = {0: [0, 1], 1: [2, 3]}

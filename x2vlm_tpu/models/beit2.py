@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.ops.layers import (
-    ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention, gelu_exact,
+    ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention, PatchEmbed,
+    gelu_exact,
 )
 
 __all__ = ["BEiT2Config", "BEiT2", "relative_position_index"]
@@ -157,17 +158,8 @@ class BEiT2(nn.Module):
     def __call__(self, pixels: jnp.ndarray, deterministic: bool = True):
         cfg = self.config
         B = pixels.shape[0]
-        # NHWC conv patchify — maps straight onto TPU convolution units.
-        x = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="patch_embed",
-        )(pixels.astype(self.dtype))
-        x = x.reshape(B, -1, cfg.embed_dim)
+        x = PatchEmbed(cfg.embed_dim, cfg.patch_size, dtype=self.dtype,
+                       name="patch_embed")(pixels)
         S = x.shape[1]
         if S != cfg.num_patches:
             raise ValueError(

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from x2vlm_tpu.ops.layers import MultiHeadAttention
+from x2vlm_tpu.ops.layers import MultiHeadAttention, PatchEmbed
 
 __all__ = ["CLIPViTConfig", "CLIPViT", "quick_gelu"]
 
@@ -78,11 +78,8 @@ class CLIPViT(nn.Module):
     def __call__(self, pixels, deterministic: bool = True):
         cfg = self.config
         B = pixels.shape[0]
-        x = nn.Conv(cfg.embed_dim, kernel_size=(cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="patch_embed")(pixels.astype(self.dtype))
-        x = x.reshape(B, -1, cfg.embed_dim)
+        x = PatchEmbed(cfg.embed_dim, cfg.patch_size, use_bias=False,
+                       dtype=self.dtype, name="patch_embed")(pixels)
         cls = self.param("class_embedding", nn.initializers.normal(1.0),
                          (cfg.embed_dim,), jnp.float32)
         x = jnp.concatenate(

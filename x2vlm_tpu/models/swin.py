@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.ops.attention import dot_product_attention
-from x2vlm_tpu.ops.layers import Mlp, gelu_exact
+from x2vlm_tpu.ops.layers import Mlp, PatchEmbed, gelu_exact
 
 __all__ = ["SwinConfig", "SwinTransformer"]
 
@@ -205,12 +205,9 @@ class SwinTransformer(nn.Module):
     def __call__(self, pixels, deterministic: bool = True):
         cfg = self.config
         B = pixels.shape[0]
-        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="patch_embed")(pixels.astype(self.dtype))
+        x = PatchEmbed(cfg.embed_dim, cfg.patch_size, dtype=self.dtype,
+                       name="patch_embed")(pixels)
         H = W = cfg.image_res // cfg.patch_size
-        x = x.reshape(B, H * W, cfg.embed_dim)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="patch_norm")(
                              x.astype(jnp.float32)).astype(self.dtype)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.ops.layers import (
-    ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention,
+    ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention, PatchEmbed,
 )
 
 __all__ = ["ViTConfig", "ViT"]
@@ -98,16 +98,8 @@ class ViT(nn.Module):
     def __call__(self, pixels: jnp.ndarray, deterministic: bool = True):
         cfg = self.config
         B = pixels.shape[0]
-        x = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="patch_embed",
-        )(pixels.astype(self.dtype))
-        x = x.reshape(B, -1, cfg.embed_dim)
+        x = PatchEmbed(cfg.embed_dim, cfg.patch_size, dtype=self.dtype,
+                       name="patch_embed")(pixels)
         if x.shape[1] != cfg.num_patches:
             raise ValueError(
                 f"input {pixels.shape} gives {x.shape[1]} patches, config "

@@ -138,9 +138,27 @@ def retrieval_scores(model, variables, img_embeds, img_feats, txt_embeds,
     if num_hosts > 1:
         from jax.experimental import multihost_utils
 
-        score_i2t = np.asarray(multihost_utils.process_allgather(score_i2t)).max(0)
-        score_t2i = np.asarray(multihost_utils.process_allgather(score_t2i)).max(0)
+        score_i2t = merge_row_sharded(
+            np.asarray(multihost_utils.process_allgather(score_i2t)), num_hosts)
+        score_t2i = merge_row_sharded(
+            np.asarray(multihost_utils.process_allgather(score_t2i)), num_hosts)
     return score_i2t, score_t2i
+
+
+def merge_row_sharded(gathered: np.ndarray, num_hosts: int) -> np.ndarray:
+    """Merge per-host score matrices by row ownership: host h computed rows
+    [h*step, (h+1)*step) (``shard_range`` above), so take exactly those rows
+    from its copy. (A ``max(0)`` merge would also work today because
+    non-candidate entries are -100 and itm_score outputs exceed it, but that
+    is an invariant of the score head, not of the merge — ownership needs no
+    such assumption.)"""
+    merged = np.empty_like(gathered[0])
+    n = merged.shape[0]
+    step = n // num_hosts + 1
+    for h in range(num_hosts):
+        lo = h * step
+        merged[lo:min(n, lo + step)] = gathered[h, lo:min(n, lo + step)]
+    return merged
 
 
 def itm_eval(scores_i2t: np.ndarray, scores_t2i: np.ndarray,

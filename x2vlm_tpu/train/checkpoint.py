@@ -303,6 +303,11 @@ def convert_xvlm_state_dict(
             _set(tree, f"{name}/bias", take(f"{name}.bias"))
     if "temp" in sd:
         _set(tree, "temp", take("temp").reshape(()))
+    if "absolute_frame_pos_embed" in sd:
+        # video stage-2 checkpoints: (1, frame_len, 1, vision_width);
+        # frame-count mismatch is adapted at merge time (reference
+        # xvlm.py:603-607 copies the first min(frame_len) rows)
+        _set(tree, "frame_pos_embed", take("absolute_frame_pos_embed"))
     # build_mlp heads (Sequential Linear/LayerNorm/GELU/Linear → fc1/ln/fc2);
     # cls_head covers NLVR / classification fine-tuned checkpoints
     for head in ("itm_head", "bbox_head", "cls_head"):
@@ -430,6 +435,17 @@ def merge_imported(init_params, imported_base: Dict[str, Any], scope: str = "bas
             elif isinstance(src, dict) and k in src:
                 new = np.asarray(src[k])
                 if new.shape != v.shape:
+                    if (k == "frame_pos_embed" and new.ndim == v.ndim == 4
+                            and new.shape[0] == v.shape[0]
+                            and new.shape[2:] == v.shape[2:]):
+                        # frame-count mismatch: load the first min(frame_len)
+                        # frames, keep fresh init for the rest (reference
+                        # xvlm.py:603-607)
+                        f = min(new.shape[1], v.shape[1])
+                        buf = np.asarray(v).copy()
+                        buf[:, :f] = new[:, :f]
+                        dst[k] = jnp.asarray(buf, v.dtype)
+                        continue
                     raise ValueError(f"shape mismatch at {p}: ckpt {new.shape} vs model {v.shape}")
                 dst[k] = jnp.asarray(new, v.dtype)
             else:
