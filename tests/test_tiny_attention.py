@@ -14,19 +14,22 @@ import jax.numpy as jnp
 from x2vlm_tpu.ops.tiny_attention import tiny_block_attention, _xla_reference, _krow
 
 rng = np.random.default_rng(3)
-for (B, S, H, D, with_mask) in [
-    (4, 40, 12, 64, False),    # pretrain text-tower shape
-    (8, 40, 12, 64, True),
-    (2, 16, 2, 8, True),       # tiny
-    (6, 48, 4, 32, True),      # other aligned sizes
+for (B, S, Skv, H, D, with_mask) in [
+    (4, 40, 40, 12, 64, False),    # pretrain text-tower shape
+    (8, 40, 40, 12, 64, True),
+    (2, 16, 16, 2, 8, True),       # tiny
+    (6, 48, 48, 4, 32, True),      # other aligned sizes
+    (4, 40, 197, 4, 32, True),     # fusion cross-attn (padded Skv 197->200)
+    (2, 40, 197, 4, 32, False),    # cross, no caller mask (pad-only mask)
+    (2, 10, 30, 2, 8, True),       # non-%8 Sq AND Skv (both padded)
 ]:
     HD = H * D
     q = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Skv, HD)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Skv, HD)).astype(np.float32))
     km = None
     if with_mask:
-        km_np = rng.random((B, S)) > 0.25
+        km_np = rng.random((B, Skv)) > 0.25
         km_np[:, 0] = True
         km = jnp.asarray(km_np)
     scale = D ** -0.5

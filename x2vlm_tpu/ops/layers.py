@@ -296,21 +296,35 @@ class MultiHeadAttention(nn.Module):
             k = dense(bk, "key")(kv_src)
             v = dense(bv, "value")(kv_src)
 
-        # short self-attention (text/fusion towers, S ≈ 40): the batched
-        # (B·H, S, S) matmuls pay a fixed ~0.4 µs/batched-element MXU latency
-        # (a shape floor, CLAUDE.md) — route through the block-diagonal
-        # Pallas kernel, which does all heads of a row in one matmul pair on
-        # the projection layout (no head-split transposes at all)
-        if (kv is None and cache is None and mask is None and bias is None
-                and not causal and kv_gather_idx is None and Sq <= 64
-                and impl != "xla"):
+        # short-query attention (text/fusion towers, Sq ≈ 40; fusion
+        # cross-attention to the image stream, Skv ≈ 197): the batched
+        # (B·H, Sq, Skv) matmuls pay a fixed ~0.4 µs/batched-element MXU
+        # latency (a shape floor, CLAUDE.md) — route through the
+        # block-diagonal Pallas kernel, which does all heads of a row in one
+        # matmul pair on the projection layout (no head-split transposes)
+        from x2vlm_tpu.ops.tiny_attention import tiny_supported
+
+        drop_active = self.attn_dropout_rate > 0.0 and not deterministic
+        if (cache is None and mask is None and bias is None
+                and not causal and impl != "xla"
+                and tiny_supported(B, Sq, k.shape[1], self.num_heads,
+                                   head_dim,
+                                   has_mask=key_mask is not None,
+                                   has_drop=drop_active)):
             # (on non-TPU backends tiny_block_attention runs the same math
             # via its XLA reference path — tests stay backend-agnostic)
             from x2vlm_tpu.ops.tiny_attention import tiny_block_attention
 
-            drop_rng = None
-            if self.attn_dropout_rate > 0.0 and not deterministic:
-                drop_rng = self.make_rng("dropout")
+            if kv_gather_idx is not None:
+                # cross-batch gather of the unique-KV panels on the
+                # projection layout (see the bhsd-path comment below)
+                from x2vlm_tpu.core import mesh as mesh_lib
+
+                k = mesh_lib.constrain_batch(jnp.take(
+                    mesh_lib.constrain_replicated(k), kv_gather_idx, axis=0))
+                v = mesh_lib.constrain_batch(jnp.take(
+                    mesh_lib.constrain_replicated(v), kv_gather_idx, axis=0))
+            drop_rng = self.make_rng("dropout") if drop_active else None
             out = tiny_block_attention(
                 q, k, v, num_heads=self.num_heads, key_mask=key_mask,
                 dropout_rate=self.attn_dropout_rate, dropout_rng=drop_rng,

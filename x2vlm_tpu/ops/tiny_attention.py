@@ -1,30 +1,37 @@
-"""Block-diagonal tiny-attention Pallas kernel for short-sequence multi-head
-self-attention (text/fusion towers, Sq = Skv = S ≈ 40).
+"""Block-diagonal tiny-attention Pallas kernel for short-query multi-head
+attention — self-attention in the text/fusion towers (Sq = Skv ≈ 40) AND the
+fusion layers' cross-attention to the image stream (Sq ≈ 40, Skv ≈ 197).
 
-Why: batched (B·H, S, S) attention matmuls at S≈40 pay a measured ~0.4 µs
-per batched element on the MXU regardless of batching strategy (CLAUDE.md) —
-a dispatch-shape floor that costs ~19 ms/step in X2VLM-base pretraining
-(profiler breakdown, STATUS.md). This kernel computes ALL heads of one batch
+Why: batched (B·H, Sq, Skv) attention matmuls at Sq ≈ 40 pay a measured
+~0.4 µs per batched element on the MXU regardless of batching strategy
+(CLAUDE.md) — a dispatch-shape floor that cost ~19 ms/step (self) plus
+~14 ms/step (cross, 6 einsums/layer fwd+bwd) in X2VLM-base pretraining
+(profiler breakdowns, STATUS.md). This kernel computes ALL heads of one batch
 row with ONE matmul pair by assembling K and V into a block-diagonal
-(H·S, H·D) scratch in VMEM:
+(H·Skv, H·D) scratch in VMEM:
 
-    logits_all = Qw (S, H·D) @ Kblock^T-free layout (H·S, H·D)ᵀ→ (S, H·S)
-    out_all    = P  (S, H·S) @ Vblock (H·S, H·D)            → (S, H·D)
+    logits_all = Qw (Sq, H·D) @ Kblock (H·Skv, H·D)ᵀ → (Sq, H·Skv)
+    out_all    = P  (Sq, H·Skv) @ Vblock (H·Skv, H·D) → (Sq, H·D)
 
 Off-diagonal products hit zero blocks, so the result is exact; the ~H×
-padded FLOPs are negligible at these sizes (≈30 MFLOP/row) while the MXU
-dispatch count drops by H× per row and the head-split/merge transposes
-disappear entirely (I/O is the projection layout (B, S, H·D)).
+padded FLOPs are cheap at these sizes while the MXU dispatch count drops by
+H× per row and the head-split/merge transposes disappear entirely (I/O is
+the projection layout (B, S, H·D)).
 
 The zero off-diagonal blocks are written ONCE (first grid step) — scratch
 persists across the sequential TPU grid, and per-row updates only overwrite
 the diagonal blocks. The XLA-level version of this trick was measured
 construction-bound (STATUS.md round-2); VMEM assembly is what makes it pay.
 
+Sequence lengths are padded to the Mosaic sublane quantum (%8) internally:
+padded KEY positions are masked with -inf (they contribute exp→0), padded
+QUERY rows compute garbage that is sliced off. Callers may pass any
+Sq ≤ 64 and any Skv the VMEM estimate admits (see ``tiny_supported``).
+
 Attention-probability dropout is supported via a caller-provided multiplier
 mask (values 0 or 1/(1-p)), generated with jax.random outside the kernel —
-(B, S, H·S) bf16 is ~2 MB at pretrain shapes, and reusing the operand in the
-backward pass keeps fwd/bwd masks identical without in-kernel RNG.
+reusing the operand in the backward pass keeps fwd/bwd masks identical
+without in-kernel RNG.
 
 Interpret-mode tested against the XLA reference; the real-TPU Mosaic
 lowering is compile-checked on the chip (see tests/test_tiny_attention.py
@@ -43,41 +50,42 @@ from jax.experimental import pallas as pl
 
 _INTERPRET = os.environ.get("X2VLM_FLASH_INTERPRET", "0") == "1"
 _NEG_INF = -1e30
+_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB scoped stack
 
-__all__ = ["tiny_block_attention"]
+__all__ = ["tiny_block_attention", "tiny_supported"]
 
 
-def _head_indicator(H, S):
-    """B1 (H·S, H) f32: B1[c, h] = 1 iff column c belongs to head h.
+def _head_indicator(H, Skv):
+    """B1 (H·Skv, H) f32: B1[c, h] = 1 iff column c belongs to head h.
     Iota-built (Mosaic rejects minor-dim reshapes like (S,H·S)→(S,H,S))."""
-    c = jax.lax.broadcasted_iota(jnp.int32, (H * S, H), 0)
-    h = jax.lax.broadcasted_iota(jnp.int32, (H * S, H), 1)
-    return (c // S == h).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (H * Skv, H), 0)
+    h = jax.lax.broadcasted_iota(jnp.int32, (H * Skv, H), 1)
+    return (c // Skv == h).astype(jnp.float32)
 
 
-def _key_selector(H, S):
-    """Esel (S, H·S) f32: Esel[j, c] = 1 iff c's in-head key position == j —
-    lifts a per-key (S,) row to all heads' columns with one matmul."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (S, H * S), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (S, H * S), 1)
-    return (c % S == j).astype(jnp.float32)
+def _key_selector(H, Skv):
+    """Esel (Skv, H·Skv) f32: Esel[j, c] = 1 iff c's in-head key position == j
+    — lifts a per-key (Skv,) row to all heads' columns with one matmul."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (Skv, H * Skv), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Skv, H * Skv), 1)
+    return (c % Skv == j).astype(jnp.float32)
 
 
-def _headwise_softmax(logits, H, S):
-    """Per-head softmax over the (S, H·S) wide layout, reshape-free:
+def _headwise_softmax(logits, H, Skv):
+    """Per-head softmax over the (Sq, H·Skv) wide layout, reshape-free:
     subtract the GLOBAL row max (softmax is shift-invariant per row, so this
     is exact), then normalize per head block via indicator matmuls."""
-    b1 = _head_indicator(H, S)
+    b1 = _head_indicator(H, Skv)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     seg = jax.lax.dot_general(e, b1, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (S, H)
+                              preferred_element_type=jnp.float32)  # (Sq, H)
     denom = jax.lax.dot_general(seg, b1, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     return e / denom
 
 
-def _fwd_kernel(H, S, D, has_mask, has_drop, NB,
+def _fwd_kernel(H, Sq, Skv, D, has_mask, has_drop, NB,
                 *refs):
     """One grid step processes NB batch rows sequentially."""
     i = 0
@@ -90,7 +98,7 @@ def _fwd_kernel(H, S, D, has_mask, has_drop, NB,
         dm_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     p_ref = refs[i]; i += 1
-    kb = refs[i]; i += 1   # (H*S, H*D) scratch
+    kb = refs[i]; i += 1   # (H*Skv, H*D) scratch
     vb = refs[i]; i += 1
 
     @pl.when(pl.program_id(0) == 0)
@@ -98,33 +106,33 @@ def _fwd_kernel(H, S, D, has_mask, has_drop, NB,
         kb[...] = jnp.zeros_like(kb)
         vb[...] = jnp.zeros_like(vb)
 
-    esel = _key_selector(H, S) if has_mask else None
+    esel = _key_selector(H, Skv) if has_mask else None
     for r in range(NB):
         # assemble diagonal blocks (static offsets)
         for h in range(H):
-            kb[h * S:(h + 1) * S, h * D:(h + 1) * D] = k_ref[r, :, h * D:(h + 1) * D]
-            vb[h * S:(h + 1) * S, h * D:(h + 1) * D] = v_ref[r, :, h * D:(h + 1) * D]
-        q = q_ref[r]  # (S, H*D), scale pre-folded
+            kb[h * Skv:(h + 1) * Skv, h * D:(h + 1) * D] = k_ref[r, :, h * D:(h + 1) * D]
+            vb[h * Skv:(h + 1) * Skv, h * D:(h + 1) * D] = v_ref[r, :, h * D:(h + 1) * D]
+        q = q_ref[r]  # (Sq, H*D), scale pre-folded
         logits = jax.lax.dot_general(
             q, kb[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (S, H*S)
+            preferred_element_type=jnp.float32)  # (Sq, H*Skv)
         if has_mask:
-            krow = km_ref[r]  # (1, S) additive 0/-inf over key positions
+            krow = km_ref[r]  # (1, Skv) additive 0/-inf over key positions
             wide = jax.lax.dot_general(
                 krow, esel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (1, H*S)
+                preferred_element_type=jnp.float32)  # (1, H*Skv)
             logits = logits + wide
-        p = _headwise_softmax(logits, H, S)
+        p = _headwise_softmax(logits, H, Skv)
         p_ref[r] = p.astype(p_ref.dtype)
         if has_drop:
             p = p * dm_ref[r].astype(jnp.float32)
         out = jax.lax.dot_general(
             p.astype(v_ref.dtype), vb[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (S, H*D)
+            preferred_element_type=jnp.float32)  # (Sq, H*D)
         out_ref[r] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(H, S, D, has_drop, NB, *refs):
+def _bwd_kernel(H, Sq, Skv, D, has_drop, NB, *refs):
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
@@ -146,10 +154,10 @@ def _bwd_kernel(H, S, D, has_drop, NB, *refs):
 
     for r in range(NB):
         for h in range(H):
-            kb[h * S:(h + 1) * S, h * D:(h + 1) * D] = k_ref[r, :, h * D:(h + 1) * D]
-            vb[h * S:(h + 1) * S, h * D:(h + 1) * D] = v_ref[r, :, h * D:(h + 1) * D]
-        g = g_ref[r]                        # (S, H*D)
-        p = p_ref[r].astype(jnp.float32)    # (S, H*S) pre-dropout probs
+            kb[h * Skv:(h + 1) * Skv, h * D:(h + 1) * D] = k_ref[r, :, h * D:(h + 1) * D]
+            vb[h * Skv:(h + 1) * Skv, h * D:(h + 1) * D] = v_ref[r, :, h * D:(h + 1) * D]
+        g = g_ref[r]                        # (Sq, H*D)
+        p = p_ref[r].astype(jnp.float32)    # (Sq, H*Skv) pre-dropout probs
         if has_drop:
             dm = dm_ref[r].astype(jnp.float32)
             p_used = p * dm
@@ -158,43 +166,88 @@ def _bwd_kernel(H, S, D, has_drop, NB, *refs):
         # dP_used = g @ Vblockᵀ  (contract H*D)
         dp = jax.lax.dot_general(
             g, vb[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (S, H*S)
+            preferred_element_type=jnp.float32)  # (Sq, H*Skv)
         if has_drop:
             dp = dp * dm
         # softmax backward per head block, reshape-free: the per-head
         # row-dot Σ_j dP⊙P lifts back to columns via the indicator matmuls
-        b1 = _head_indicator(H, S)
+        b1 = _head_indicator(H, Skv)
         seg = jax.lax.dot_general(dp * p, b1, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # (S,H)
+                                  preferred_element_type=jnp.float32)  # (Sq,H)
         wide = jax.lax.dot_general(seg, b1, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         dl = p * (dp - wide)
-        # dQ = dlogits @ Kblock (contract H*S)
+        # dQ = dlogits @ Kblock (contract H*Skv)
         dq = jax.lax.dot_general(
             dl.astype(kb.dtype), kb[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dq_ref[r] = dq.astype(dq_ref.dtype)
-        # dKfull = dlogitsᵀ @ Q (contract S) → (H*S, H*D); diag blocks = dK
+        # dKfull = dlogitsᵀ @ Q (contract Sq) → (H*Skv, H*D); diag blocks = dK
         q = q_ref[r]
         dkf = jax.lax.dot_general(
             dl.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # dVfull = P_usedᵀ @ g → (H*S, H*D); diag blocks = dV
+        # dVfull = P_usedᵀ @ g → (H*Skv, H*D); diag blocks = dV
         dvf = jax.lax.dot_general(
             p_used.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         for h in range(H):
             dk_ref[r, :, h * D:(h + 1) * D] = dkf[
-                h * S:(h + 1) * S, h * D:(h + 1) * D].astype(dk_ref.dtype)
+                h * Skv:(h + 1) * Skv, h * D:(h + 1) * D].astype(dk_ref.dtype)
             dv_ref[r, :, h * D:(h + 1) * D] = dvf[
-                h * S:(h + 1) * S, h * D:(h + 1) * D].astype(dv_ref.dtype)
+                h * Skv:(h + 1) * Skv, h * D:(h + 1) * D].astype(dv_ref.dtype)
 
 
-def _pick_nb(B):
+def _fwd_bytes(NB, H, Sq, Skv, D, has_mask, has_drop, itemsize=2):
+    HD = H * D
+    ins = NB * Sq * HD * itemsize + 2 * NB * Skv * HD * itemsize
+    if has_mask:
+        ins += NB * Skv * 4
+    if has_drop:
+        ins += NB * Sq * H * Skv * 2
+    outs = NB * Sq * HD * itemsize + NB * Sq * H * Skv * 4
+    scratch = 2 * H * Skv * HD * itemsize
+    return 2 * (ins + outs) + scratch  # double-buffered blocks + scratch
+
+
+def _bwd_bytes(NB, H, Sq, Skv, D, has_drop, itemsize=2):
+    HD = H * D
+    ins = (3 * NB * max(Sq, Skv) * HD * itemsize  # q,k,v upper bound
+           + NB * Sq * H * Skv * 4                # probs f32
+           + NB * Sq * HD * itemsize)             # g
+    if has_drop:
+        ins += NB * Sq * H * Skv * 2
+    outs = NB * Sq * HD * itemsize + 2 * NB * Skv * HD * itemsize
+    scratch = 2 * H * Skv * HD * itemsize
+    return 2 * (ins + outs) + scratch
+
+
+def _pick_nb(B, H, Sq, Skv, D, has_mask, has_drop):
+    """Largest NB dividing B whose fwd AND bwd VMEM estimates fit."""
     for nb in (8, 4, 2, 1):
-        if B % nb == 0:
+        if B % nb:
+            continue
+        if (_fwd_bytes(nb, H, Sq, Skv, D, has_mask, has_drop) <= _VMEM_BUDGET
+                and _bwd_bytes(nb, H, Sq, Skv, D, has_drop) <= _VMEM_BUDGET):
             return nb
-    return 1
+    return 0
+
+
+def _pad8(n):
+    return -(-n // 8) * 8
+
+
+def tiny_supported(B, Sq, Skv, num_heads, head_dim,
+                   has_mask=False, has_drop=False) -> bool:
+    """True when the padded shapes fit the kernel's VMEM budget AND the
+    lane width is in Mosaic's measured-correct region: an on-chip sweep
+    (v5e, 2026-08) showed H·D = 128 (exactly one lane tile) SILENTLY
+    miscompiles the backward (grads ~50% off vs fp32 truth) while every
+    H·D ≥ 256 case is bf16-exact; real model widths are ≥ 512."""
+    if Sq > 64 or num_heads * head_dim < 256:
+        return False
+    return _pick_nb(B, num_heads, _pad8(Sq), _pad8(Skv), head_dim,
+                    True if Skv % 8 else has_mask, has_drop) > 0
 
 
 def _krow(key_mask):
@@ -208,44 +261,49 @@ def _tiny(qs, k, v, krow, dmask, num_heads):
 
 
 def _tiny_fwd_impl(qs, k, v, krow, dmask, H):
-    B, S, HD = qs.shape
+    B, Sq, HD = qs.shape
+    Skv = k.shape[1]
     D = HD // H
-    NB = _pick_nb(B)
     has_mask = krow is not None
     has_drop = dmask is not None
+    NB = _pick_nb(B, H, Sq, Skv, D, has_mask, has_drop)
 
     operands = [qs, k, v]
-    in_specs = [pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0))] * 3
+    in_specs = [
+        pl.BlockSpec((NB, Sq, HD), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Skv, HD), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Skv, HD), lambda b: (b, 0, 0)),
+    ]
     if has_mask:
-        # (B, 1, S): a 2-D (NB, S) block would put NB in the Mosaic sublane
-        # slot, which must be %8 or ==B — fails for e.g. B=12. With the unit
-        # middle dim the block's last two dims always equal the array dims.
+        # (B, 1, Skv): a 2-D (NB, Skv) block would put NB in the Mosaic
+        # sublane slot, which must be %8 or ==B — fails for e.g. B=12. With
+        # the unit middle dim the block's last two dims equal the array dims.
         operands.append(krow[:, None, :])
-        in_specs.append(pl.BlockSpec((NB, 1, S), lambda b: (b, 0, 0)))
+        in_specs.append(pl.BlockSpec((NB, 1, Skv), lambda b: (b, 0, 0)))
     if has_drop:
         operands.append(dmask)
-        in_specs.append(pl.BlockSpec((NB, S, H * S), lambda b: (b, 0, 0)))
+        in_specs.append(pl.BlockSpec((NB, Sq, H * Skv), lambda b: (b, 0, 0)))
 
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_fwd_kernel, H, S, D, has_mask, has_drop, NB)
+    kernel = functools.partial(_fwd_kernel, H, Sq, Skv, D, has_mask, has_drop, NB)
     out, probs = pl.pallas_call(
         kernel,
         grid=(B // NB,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((NB, S, H * S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((NB, Sq, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((NB, Sq, H * Skv), lambda b: (b, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, S, HD), qs.dtype),
+            jax.ShapeDtypeStruct((B, Sq, HD), qs.dtype),
             # probs residual kept fp32: bf16 here costs ~1e-2 relative error
             # in dK/dV (measured); the extra HBM is ~7 MB at pretrain shapes
-            jax.ShapeDtypeStruct((B, S, H * S), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sq, H * Skv), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((H * S, HD), qs.dtype),
-            pltpu.VMEM((H * S, HD), qs.dtype),
+            pltpu.VMEM((H * Skv, HD), qs.dtype),
+            pltpu.VMEM((H * Skv, HD), qs.dtype),
         ],
         interpret=_INTERPRET,
     )(*operands)
@@ -260,43 +318,44 @@ def _tiny_vjp_fwd(qs, k, v, krow, dmask, num_heads):
 def _tiny_vjp_bwd(num_heads, res, g):
     qs, k, v, probs, dmask = res
     H = num_heads
-    B, S, HD = qs.shape
+    B, Sq, HD = qs.shape
+    Skv = k.shape[1]
     D = HD // H
-    NB = _pick_nb(B)
     has_drop = dmask is not None
+    NB = _pick_nb(B, H, Sq, Skv, D, False, has_drop)
 
     operands = [qs, k, v, probs, g]
     in_specs = [
-        pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
-        pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
-        pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
-        pl.BlockSpec((NB, S, H * S), lambda b: (b, 0, 0)),
-        pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Sq, HD), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Skv, HD), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Skv, HD), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Sq, H * Skv), lambda b: (b, 0, 0)),
+        pl.BlockSpec((NB, Sq, HD), lambda b: (b, 0, 0)),
     ]
     if has_drop:
         operands.append(dmask)
-        in_specs.append(pl.BlockSpec((NB, S, H * S), lambda b: (b, 0, 0)))
+        in_specs.append(pl.BlockSpec((NB, Sq, H * Skv), lambda b: (b, 0, 0)))
 
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_bwd_kernel, H, S, D, has_drop, NB)
+    kernel = functools.partial(_bwd_kernel, H, Sq, Skv, D, has_drop, NB)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B // NB,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((NB, S, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((NB, Sq, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((NB, Skv, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((NB, Skv, HD), lambda b: (b, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, S, HD), qs.dtype),
-            jax.ShapeDtypeStruct((B, S, HD), k.dtype),
-            jax.ShapeDtypeStruct((B, S, HD), v.dtype),
+            jax.ShapeDtypeStruct((B, Sq, HD), qs.dtype),
+            jax.ShapeDtypeStruct((B, Skv, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Skv, HD), v.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((H * S, HD), qs.dtype),
-            pltpu.VMEM((H * S, HD), qs.dtype),
+            pltpu.VMEM((H * Skv, HD), qs.dtype),
+            pltpu.VMEM((H * Skv, HD), qs.dtype),
         ],
         interpret=_INTERPRET,
     )(*operands)
@@ -318,41 +377,61 @@ def tiny_block_attention(
     deterministic: bool = True,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Multi-head self-attention on projection-layout inputs.
+    """Multi-head attention on projection-layout inputs.
 
-    qw/kw/vw: (B, S, H·D) — the Q/K/V projection outputs, NOT head-split.
-    Returns (B, S, H·D), ready for the output projection.
+    qw: (B, Sq, H·D); kw/vw: (B, Skv, H·D) — the Q/K/V projection outputs,
+    NOT head-split (self-attention: Skv == Sq; fusion cross-attention:
+    kw/vw come from the image stream). Returns (B, Sq, H·D), ready for the
+    output projection. Sequence lengths are padded to %8 internally.
     """
-    B, S, HD = qw.shape
+    B, Sq, HD = qw.shape
+    Skv = kw.shape[1]
     D = HD // num_heads
     if scale is None:
         scale = D ** -0.5
     qs = qw * jnp.asarray(scale, qw.dtype)
+
+    Sq_p, Skv_p = _pad8(Sq), _pad8(Skv)
+    if Skv_p != Skv and key_mask is None:
+        key_mask = jnp.ones((B, Skv), jnp.bool_)
+    if Sq_p != Sq:
+        qs = jnp.pad(qs, ((0, 0), (0, Sq_p - Sq), (0, 0)))
+    if Skv_p != Skv:
+        kw = jnp.pad(kw, ((0, 0), (0, Skv_p - Skv), (0, 0)))
+        vw = jnp.pad(vw, ((0, 0), (0, Skv_p - Skv), (0, 0)))
+        key_mask = jnp.pad(key_mask.astype(jnp.bool_),
+                           ((0, 0), (0, Skv_p - Skv)))
+
     krow = _krow(key_mask) if key_mask is not None else None
     dmask = None
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(
-            dropout_rng, 1.0 - dropout_rate, (B, S, num_heads * S))
+            dropout_rng, 1.0 - dropout_rate, (B, Sq_p, num_heads * Skv_p))
         dmask = (keep.astype(jnp.bfloat16) / (1.0 - dropout_rate))
     if jax.default_backend() != "tpu" and not _INTERPRET:
-        return _xla_reference(qs, kw, vw, krow, dmask, num_heads)
-    return _tiny(qs, kw, vw, krow, dmask, num_heads)
+        out = _xla_reference(qs, kw, vw, krow, dmask, num_heads)
+    else:
+        out = _tiny(qs, kw, vw, krow, dmask, num_heads)
+    if Sq_p != Sq:
+        out = out[:, :Sq]
+    return out
 
 
 def _xla_reference(qs, k, v, krow, dmask, H):
     """Same math via XLA (CPU/GPU test backends)."""
-    B, S, HD = qs.shape
+    B, Sq, HD = qs.shape
+    Skv = k.shape[1]
     D = HD // H
-    q4 = qs.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-    k4 = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-    v4 = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    q4 = qs.reshape(B, Sq, H, D).transpose(0, 2, 1, 3)
+    k4 = k.reshape(B, Skv, H, D).transpose(0, 2, 1, 3)
+    v4 = v.reshape(B, Skv, H, D).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q4, k4,
                         preferred_element_type=jnp.float32)
     if krow is not None:
         logits = logits + krow[:, None, None, :]
     p = jax.nn.softmax(logits, axis=-1)
     if dmask is not None:
-        dm = dmask.reshape(B, S, H, S).transpose(0, 2, 1, 3).astype(jnp.float32)
+        dm = dmask.reshape(B, Sq, H, Skv).transpose(0, 2, 1, 3).astype(jnp.float32)
         p = p * dm
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v4.dtype), v4)
-    return out.transpose(0, 2, 1, 3).reshape(B, S, HD)
+    return out.transpose(0, 2, 1, 3).reshape(B, Sq, HD)
