@@ -14,7 +14,8 @@ import shutil
 import subprocess
 from typing import IO, Iterator, List
 
-__all__ = ["hopen", "hlist_files", "hexists", "hmkdir", "hcopy", "hcountline"]
+__all__ = ["hopen", "hlist_files", "hexists", "hmkdir", "hcopy", "hcountline",
+           "fetch_local", "mirror_to_remote"]
 
 
 def _scheme(path: str) -> str:
@@ -99,14 +100,48 @@ def hmkdir(path: str) -> bool:
 
 
 def hcopy(src: str, dst: str) -> bool:
+    """Copy a file (or, like `hdfs dfs -put/-get`, a whole directory) across
+    local/hdfs/gs schemes (reference hdfs_io.hcopy:85-96)."""
     ss, ds = _scheme(src), _scheme(dst)
     if ss == "local" and ds == "local":
-        shutil.copy(src, dst)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(dst, os.path.basename(
+                src.rstrip("/"))), dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
         return True
     if "hdfs" in (ss, ds):
         flag = "-put" if ss == "local" else "-get" if ds == "local" else "-cp"
         return subprocess.run(["hdfs", "dfs", flag, "-f", src, dst]).returncode == 0
-    return subprocess.run(["gsutil", "cp", src, dst]).returncode == 0
+    recursive = ["-r"] if ss == "local" and os.path.isdir(src) else []
+    return subprocess.run(["gsutil", "cp", *recursive, src, dst]).returncode == 0
+
+
+def fetch_local(path: str, scratch_dir: str = ".") -> str:
+    """Stage a remote file to a local scratch dir and return the local path;
+    local paths pass through (reference run.py:84-101 get_from_hdfs)."""
+    if _scheme(path) == "local":
+        return path
+    os.makedirs(scratch_dir, exist_ok=True)
+    local = os.path.join(scratch_dir, os.path.basename(path.rstrip("/")))
+    if not hcopy(path, local):
+        raise FileNotFoundError(f"failed to fetch {path}")
+    return local
+
+
+def mirror_to_remote(local_dir: str, remote_dir: str,
+                     names: List[str] = ()) -> None:
+    """Copy run artifacts (log, dumped config, result JSONs, checkpoints) from
+    a local output_dir to a remote one — the reference copies log.txt + ckpts
+    to ``--output_hdfs`` at save points (Pretrain.py:368-375, run.py:495-506).
+    ``names`` selects entries of ``local_dir``; empty = every entry."""
+    hmkdir(remote_dir)
+    entries = names or sorted(os.listdir(local_dir))
+    for name in entries:
+        src = os.path.join(local_dir, name)
+        if os.path.exists(src):
+            hcopy(src, remote_dir.rstrip("/") + "/"
+                  + ("" if os.path.isdir(src) else name))
 
 
 def hcountline(path: str) -> int:

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.core import config as config_lib
+from x2vlm_tpu.core import io as io_lib
 from x2vlm_tpu.core import mesh as mesh_lib
 from x2vlm_tpu.data.factory import create_dataset
 from x2vlm_tpu.factory import build_model
@@ -67,12 +68,23 @@ def parse_args(argv=None):
                    help="size of the parameter-sharding mesh axis (ZeRO)")
     p.add_argument("--wait", default=0, type=int,
                    help="minutes to sleep before starting (reference run.py:476)")
+    p.add_argument("--output_hdfs", default="",
+                   help="remote (hdfs:// or gs://) dir mirroring the run's "
+                        "artifacts — log, config, results, checkpoints "
+                        "(reference run.py:495-506, Pretrain.py:368-375)")
     return p.parse_args(argv)
 
 
 def setup(args):
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.config.startswith(("hdfs://", "gs://")):
+        # stage remote config locally (reference run.py:495-506 get_from_hdfs;
+        # remote .th checkpoints stream directly through hopen in ckpt_lib)
+        args.config = io_lib.fetch_local(args.config, args.output_dir)
+    if args.output_hdfs:
+        io_lib.hmkdir(args.output_hdfs)
     cfg = config_lib.load_config(args.config, overrides=args.override_cfg)
     if args.bs > 0:
         cfg["batch_size"] = args.bs
@@ -81,7 +93,6 @@ def setup(args):
         cfg["schedular"]["epochs"] = args.epoch
     random.seed(args.seed)
     np.random.seed(args.seed)
-    os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
         import yaml
 
@@ -877,6 +888,12 @@ def main(argv=None):
         runner(args, cfg, mesh)
     else:
         runner(args, cfg, mesh, task=args.task)
+    if args.output_hdfs and jax.process_index() == 0:
+        # mirror run artifacts to the remote dir (reference Pretrain.py:368-375
+        # copies log + ckpts to --output_hdfs; done once at run end here —
+        # orbax writes many small files, per-step mirroring would thrash)
+        io_lib.mirror_to_remote(args.output_dir, args.output_hdfs)
+        print(f"### mirrored {args.output_dir} -> {args.output_hdfs}")
     print(f"total time: {time.time() - t0:.0f}s")
 
 

@@ -33,11 +33,22 @@ __all__ = [
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch ``.th``/``.pth`` checkpoint into numpy (host-side; torch
-    runs CPU-only here). Unwraps the common {'model': ...} / {'module': ...}
-    containers (reference utils/checkpointer.py, xvlm.py:393-396)."""
+    runs CPU-only here). Remote (hdfs://, gs://) paths stream through hopen
+    pipes (reference utils/torch_io.py:14-23). Unwraps the common
+    {'model': ...} / {'module': ...} containers (reference
+    utils/checkpointer.py, xvlm.py:393-396)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if path.startswith(("hdfs://", "gs://")):
+        import io as _io
+
+        from x2vlm_tpu.core.io import hopen
+
+        with hopen(path, "rb") as reader:
+            buf = _io.BytesIO(reader.read())
+        ckpt = torch.load(buf, map_location="cpu", weights_only=False)
+    else:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("model", "module", "state_dict"):
         if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
             ckpt = ckpt[key]
