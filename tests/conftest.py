@@ -28,7 +28,10 @@ jax.config.update("jax_platforms", "cpu")
 # pytest invocations (safe to delete /tmp/x2vlm_jax_cache any time).
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("X2VLM_JAX_CACHE", "/tmp/x2vlm_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# cache even sub-second compiles: the suite builds hundreds of small programs
+# (collates, eval metrics, per-task train steps) whose compiles individually
+# sit under the 1s default threshold but sum to minutes per run
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

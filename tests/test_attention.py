@@ -1,5 +1,15 @@
+import os
 import subprocess
 import sys
+
+# point kernel-test subprocesses at the suite's persistent compile cache
+# (conftest.py) — a fresh process otherwise recompiles everything cold
+_CACHE_ENV = dict(
+    os.environ,
+    JAX_COMPILATION_CACHE_DIR=os.environ.get("X2VLM_JAX_CACHE",
+                                             "/tmp/x2vlm_jax_cache"),
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+)
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +142,7 @@ def test_flash_kernel_interpret_mode():
     res = subprocess.run(
         [sys.executable, "-c", _FLASH_TEST],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=_CACHE_ENV,
     )
     assert res.returncode == 0, res.stderr
     assert "FLASH_OK" in res.stdout

@@ -1,8 +1,17 @@
 """Fused int8 matmul kernel: interpret-mode parity vs the XLA pipeline, and
 QDense-through-kernel encoder parity."""
 
+import os
 import subprocess
 import sys
+
+# share the suite's persistent compile cache with the subprocess (conftest.py)
+_CACHE_ENV = dict(
+    os.environ,
+    JAX_COMPILATION_CACHE_DIR=os.environ.get("X2VLM_JAX_CACHE",
+                                             "/tmp/x2vlm_jax_cache"),
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+)
 
 _INT8_TEST = r"""
 import os
@@ -50,6 +59,7 @@ def test_int8_matmul_interpret_mode():
     res = subprocess.run(
         [sys.executable, "-c", _INT8_TEST],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=_CACHE_ENV,
     )
     assert res.returncode == 0, res.stderr
     assert "INT8_OK" in res.stdout

@@ -1,8 +1,18 @@
 """Block-diagonal tiny-attention kernel: interpret-mode parity vs the XLA
 reference (fwd + bwd, masked/unmasked, with attention-prob dropout)."""
 
+import os
 import subprocess
 import sys
+
+# the subprocess re-imports jax from scratch: point it at the suite's
+# persistent compile cache (conftest.py) or every run recompiles cold
+_CACHE_ENV = dict(
+    os.environ,
+    JAX_COMPILATION_CACHE_DIR=os.environ.get("X2VLM_JAX_CACHE",
+                                             "/tmp/x2vlm_jax_cache"),
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+)
 
 _TINY_TEST = r"""
 import os
@@ -96,6 +106,7 @@ def test_tiny_attention_interpret_mode():
     res = subprocess.run(
         [sys.executable, "-c", _TINY_TEST],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=_CACHE_ENV,
     )
     assert res.returncode == 0, res.stderr
     assert "TINY_OK" in res.stdout

@@ -73,9 +73,9 @@ def test_train_step_runs_and_improves_on_mesh():
     mesh = create_mesh()
     with global_mesh(mesh):
         batch = shard_batch(raw)
-        params = model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            batch, rng=jax.random.PRNGKey(2))
+        params = jax.jit(lambda k: model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(1)},
+            batch, rng=jax.random.PRNGKey(2)))(jax.random.PRNGKey(0))
         labels = param_labels(params["params"], fusion_layer=cfg.text.fusion_layer)
         tx = create_optimizer(
             params["params"], lr_schedule(1e-3, 100, warmup_steps=0),
@@ -99,9 +99,9 @@ def test_temp_projection_stays_in_bounds():
     model = RetrievalWrapper(cfg, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     batch = jax.tree_util.tree_map(jnp.asarray, _batch(rng, bs=8))
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch, rng=jax.random.PRNGKey(2))
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.PRNGKey(1)},
+        batch, rng=jax.random.PRNGKey(2)))(jax.random.PRNGKey(0))
     tx = create_optimizer(params["params"], lr_schedule(0.5, 100, warmup_steps=0))
     state = create_train_state(params, tx)
     step_fn = make_train_step(model, tx, donate=False)

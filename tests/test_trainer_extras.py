@@ -58,16 +58,22 @@ def test_remat_matches_no_remat_loss(rng):
     losses = {}
     for remat in (False, True):
         model = XVLMForRetrieval(tiny_cfg(remat=remat), dtype=jnp.float32)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            batch, rng=jax.random.PRNGKey(2))
-        out = model.apply(variables, batch, rng=jax.random.PRNGKey(3),
-                          deterministic=True)
-        losses[remat] = float(out["loss_itc"])
+        variables = jax.jit(lambda k: model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(1)},
+            batch, rng=jax.random.PRNGKey(2)))(jax.random.PRNGKey(0))
+        # loss + grad in one jitted program (also: warm suite runs load it
+        # from the persistent compile cache instead of eager re-dispatch)
+        @jax.jit
+        def loss_and_grad(p):
+            def f(p_):
+                return model.apply({"params": p_}, batch,
+                                   rng=jax.random.PRNGKey(3),
+                                   deterministic=True)["loss_itc"]
+            return f(p), jax.grad(f)(p)
+
+        loss, g = loss_and_grad(variables["params"])
+        losses[remat] = float(loss)
         # gradient flows through remat
-        g = jax.grad(lambda p: model.apply(
-            {"params": p}, batch, rng=jax.random.PRNGKey(3),
-            deterministic=True)["loss_itc"])(variables["params"])
         gn = float(jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
         assert np.isfinite(gn) and gn > 0

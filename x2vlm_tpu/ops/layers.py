@@ -233,6 +233,47 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class DenseParams(nn.Module):
+    """``nn.Dense``-compatible parameter container ({kernel, bias}, same
+    shapes/init/param names) for projections whose matmul is emitted manually
+    — e.g. fused-layout attention projections that write (B, H, S, D) straight
+    out of the matmul epilogue. Checkpoint import/export sees an identical
+    tree to ``nn.Dense``."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def _proj(x, w, b, dtype):
+    """nn.Dense semantics: promote inputs+params to `dtype`, dot, add bias."""
+    y = x.astype(dtype) @ w.astype(dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def _proj_bhsd(x, w, b, dtype, num_heads):
+    """Project (B, S, C) -> (B, H, S, D) in ONE dot_general: the head-split
+    transpose rides the matmul's output epilogue. A standalone transpose
+    feeding a Pallas kernel is a full extra HBM pass (~3 ms per tower at
+    224px/B=128, measured in the encode trace)."""
+    C, inner = w.shape
+    wr = w.reshape(C, num_heads, inner // num_heads)
+    y = jnp.einsum("bsc,chd->bhsd", x.astype(dtype), wr.astype(dtype))
+    if b is not None:
+        y = y + b.reshape(1, num_heads, 1, -1).astype(dtype)
+    return y
+
+
 class MultiHeadAttention(nn.Module):
     """Projection wrapper around the shared attention core.
 
@@ -276,25 +317,8 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.head_dim or C // self.num_heads
         inner = head_dim * self.num_heads
         kv_src = x if kv is None else kv
-
-        bq = self.qkv_bias_mode in ("full", "qv")
-        bk = self.qkv_bias_mode == "full"
-        bv = self.qkv_bias_mode in ("full", "qv")
-        if self.quant:
-            from x2vlm_tpu.ops.quant import QDense, quantize_act
-            # quantize each source once, share across the projections fed by it
-            xq, sx = quantize_act(x)
-            kvq, skv_s = (xq, sx) if kv is None else quantize_act(kv_src)
-            q = QDense(inner, use_bias=bq, dtype=self.dtype, name="query")(x, xq, sx)
-            k = QDense(inner, use_bias=bk, dtype=self.dtype, name="key")(kv_src, kvq, skv_s)
-            v = QDense(inner, use_bias=bv, dtype=self.dtype, name="value")(kv_src, kvq, skv_s)
-        else:
-            dense = lambda use_bias, name: nn.Dense(
-                inner, use_bias=use_bias, dtype=self.dtype,
-                param_dtype=jnp.float32, name=name)
-            q = dense(bq, "query")(x)
-            k = dense(bk, "key")(kv_src)
-            v = dense(bv, "value")(kv_src)
+        Skv = kv_src.shape[1]
+        attn_scale = self.scale if self.scale is not None else head_dim ** -0.5
 
         # short-query attention (text/fusion towers, Sq ≈ 40; fusion
         # cross-attention to the image stream, Skv ≈ 197): the batched
@@ -305,12 +329,45 @@ class MultiHeadAttention(nn.Module):
         from x2vlm_tpu.ops.tiny_attention import tiny_supported
 
         drop_active = self.attn_dropout_rate > 0.0 and not deterministic
-        if (cache is None and mask is None and bias is None
-                and not causal and impl != "xla"
-                and tiny_supported(B, Sq, k.shape[1], self.num_heads,
-                                   head_dim,
-                                   has_mask=key_mask is not None,
-                                   has_drop=drop_active)):
+        use_tiny = (cache is None and mask is None and bias is None
+                    and not causal and impl != "xla"
+                    and tiny_supported(B, Sq, Skv, self.num_heads, head_dim,
+                                       has_mask=key_mask is not None,
+                                       has_drop=drop_active))
+
+        bq = self.qkv_bias_mode in ("full", "qv")
+        bk = self.qkv_bias_mode == "full"
+        bv = self.qkv_bias_mode in ("full", "qv")
+        proj_layout = True  # q/k/v in (B, S, H·D) — vs fused (B, H, S, D)
+        if self.quant:
+            from x2vlm_tpu.ops.quant import QDense, quantize_act
+            # quantize each source once, share across the projections fed by it
+            xq, sx = quantize_act(x)
+            kvq, skv_s = (xq, sx) if kv is None else quantize_act(kv_src)
+            q = QDense(inner, use_bias=bq, dtype=self.dtype, name="query")(x, xq, sx)
+            k = QDense(inner, use_bias=bk, dtype=self.dtype, name="key")(kv_src, kvq, skv_s)
+            v = QDense(inner, use_bias=bv, dtype=self.dtype, name="value")(kv_src, kvq, skv_s)
+        else:
+            wq, bq_p = DenseParams(inner, bq, name="query")(C)
+            wk, bk_p = DenseParams(inner, bk, name="key")(kv_src.shape[-1])
+            wv, bv_p = DenseParams(inner, bv, name="value")(kv_src.shape[-1])
+            if use_tiny:
+                q = _proj(x, wq, bq_p, self.dtype)
+                k = _proj(kv_src, wk, bk_p, self.dtype)
+                v = _proj(kv_src, wv, bv_p, self.dtype)
+            else:
+                # fused-layout projections (B, H, S, D); the softmax scale is
+                # folded into the query weights in fp32 — one less full
+                # elementwise pass over Q in the attention prep
+                q = _proj_bhsd(x, wq * attn_scale,
+                               None if bq_p is None else bq_p * attn_scale,
+                               self.dtype, self.num_heads)
+                k = _proj_bhsd(kv_src, wk, bk_p, self.dtype, self.num_heads)
+                v = _proj_bhsd(kv_src, wv, bv_p, self.dtype, self.num_heads)
+                proj_layout = False
+                attn_scale = 1.0
+
+        if use_tiny:
             # (on non-TPU backends tiny_block_attention runs the same math
             # via its XLA reference path — tests stay backend-agnostic)
             from x2vlm_tpu.ops.tiny_attention import tiny_block_attention
@@ -329,8 +386,7 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, num_heads=self.num_heads, key_mask=key_mask,
                 dropout_rate=self.attn_dropout_rate, dropout_rng=drop_rng,
                 deterministic=deterministic,
-                scale=self.scale if self.scale is not None
-                else head_dim ** -0.5)
+                scale=attn_scale)
             if self.quant:
                 from x2vlm_tpu.ops.quant import QDense
                 out = QDense(C, dtype=self.dtype, name="out")(out)
@@ -342,14 +398,13 @@ class MultiHeadAttention(nn.Module):
                     out, deterministic=deterministic)
             return out
 
-        # (B, S, inner) → (B, H, S, D): the TPU-native attention layout. The
-        # reshape+transpose fuses into the projection matmul's output — a
-        # standalone transpose of the activation costs ~1 ms at 224px/B=128
-        # and used to dominate the flash path.
-        q = q.reshape(B, Sq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        Bkv = kv_src.shape[0]
-        k = k.reshape(Bkv, k.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(Bkv, v.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        if proj_layout:
+            # quant path: QDense emits (B, S, inner) — relayout to the
+            # (B, H, S, D) attention layout here
+            q = q.reshape(B, Sq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            Bkv = kv_src.shape[0]
+            k = k.reshape(Bkv, k.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(Bkv, v.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)
         if kv_gather_idx is not None:
             # cross-batch gather of the unique-KV panels: all-gather once,
             # take shard-locally, pin back to the query's batch sharding
@@ -387,20 +442,26 @@ class MultiHeadAttention(nn.Module):
         out = dot_product_attention(
             q, k, v,
             bias=bias, key_mask=key_mask, mask=mask, causal=causal,
-            scale=self.scale if self.scale is not None else head_dim ** -0.5,
+            scale=attn_scale,
             dropout_rate=self.attn_dropout_rate,
             dropout_rng=dropout_rng,
             deterministic=deterministic,
             impl=impl,
         )
-        # (B, H, Sq, D) → (B, Sq, inner); fuses into the output projection.
-        out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
         if self.quant:
             from x2vlm_tpu.ops.quant import QDense
+            out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
             out = QDense(C, dtype=self.dtype, name="out")(out)
         else:
-            out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                           name="out")(out)
+            # out-projection consumes (B, H, Sq, D) directly — the head-merge
+            # transpose rides this matmul's input instead of standing alone
+            # as a full HBM pass after the Pallas kernel (measured ~3 ms at
+            # 224px/B=128 in the encode trace)
+            wo, bo = DenseParams(C, True, name="out")(inner)
+            out = jnp.einsum(
+                "bhsd,hdc->bsc", out.astype(self.dtype),
+                wo.reshape(self.num_heads, head_dim, C).astype(self.dtype))
+            out = out + bo.astype(self.dtype)
         if self.proj_dropout_rate > 0.0:
             out = nn.Dropout(self.proj_dropout_rate)(out, deterministic=deterministic)
         if cache is not None:
