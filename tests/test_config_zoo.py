@@ -9,6 +9,8 @@ import pytest
 from x2vlm_tpu.core.config import load_config
 from x2vlm_tpu.factory import build_model, xvlm_config_from_yaml
 from x2vlm_tpu.models.beit2 import BEiT2Config
+from x2vlm_tpu.models.clip_vit import CLIPViTConfig
+from x2vlm_tpu.models.swin import SwinConfig
 from x2vlm_tpu.models.xvlm_plus import XVLMPlusConfig
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -43,6 +45,14 @@ def test_config_builds_model(path):
     mcfg = xvlm_config_from_yaml(cfg)
     name = os.path.basename(path)
 
+    if "clip" in name:
+        assert isinstance(mcfg.vision, CLIPViTConfig)
+        assert mcfg.vision.depth == 12 and mcfg.vision.embed_dim == 768
+        assert mcfg.text.encoder_width == 768
+    if "swin" in name:
+        assert isinstance(mcfg.vision, SwinConfig)
+        assert mcfg.vision.depths == (2, 2, 18, 2)
+        assert mcfg.text.encoder_width == 1024  # 128 * 2^3
     if "large" in name and "cclm" not in name:
         assert isinstance(mcfg.vision, BEiT2Config)
         assert mcfg.vision.embed_dim == 1024 and mcfg.vision.depth == 24

@@ -44,13 +44,22 @@ def vision_config_from_yaml(config: Dict) -> Any:
             intermediate_size=vc.get("intermediate_size", 3072),
         )
     if config.get("use_swin", False):
-        return SwinConfig(
+        out = SwinConfig(
             image_res=image_res,
+            patch_size=vc.get("patch_size", 4),
             embed_dim=vc.get("embed_dim", 128),
             depths=tuple(vc.get("depths", (2, 2, 18, 2))),
             num_heads=tuple(vc.get("num_heads", (4, 8, 16, 32))),
             window_size=vc.get("window_size", 7),
         )
+        # data-side patch bitmaps (region stream) are laid out on the OUTPUT
+        # token grid: the YAML's patch_size must equal Swin's final-stage
+        # stride — stem patch × 2^(stages-1), 32 for the standard 4-stage
+        # model (reference asserts patch_size == 32, xvlm.py:222)
+        stride = out.patch_size * 2 ** (out.num_layers - 1)
+        assert config.get("patch_size", stride) == stride, \
+            f"use_swin requires patch_size: {stride} (the final-stage token grid)"
+        return out
     # default: BEiT-2 (use_beit_v2)
     width = vc.get("vision_width", 768)
     patch = vc.get("patch_size", config.get("patch_size", 16))
@@ -85,11 +94,10 @@ def text_config_from_yaml(config: Dict, vision_width: int) -> BertConfig:
 
 
 def xvlm_config_from_yaml(config: Dict) -> XVLMConfig:
+    from x2vlm_tpu.models.xvlm import vision_width as _vw
+
     vision = vision_config_from_yaml(config)
-    vision_width = getattr(vision, "embed_dim", None) or vision.vision_width
-    if isinstance(vision, SwinConfig):
-        vision_width = vision.vision_width
-    text = text_config_from_yaml(config, vision_width)
+    text = text_config_from_yaml(config, _vw(vision))
     common = dict(
         vision=vision, text=text,
         embed_dim=config.get("embed_dim", 256),

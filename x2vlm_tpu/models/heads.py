@@ -17,7 +17,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
+from x2vlm_tpu.models.xvlm import (
+    XVLMBase, XVLMConfig, make_base, vision_seq_len,
+)
 
 __all__ = ["XVLMForPretrain", "XVLMForRetrieval", "pretrain_init_inputs"]
 
@@ -29,7 +31,7 @@ def pretrain_init_inputs(config: XVLMConfig, batch_size: int = 2,
     params lazily at init-trace time, so `model.init` must run with this batch
     and ``ret_bbox_loss=True`` for the full tree to exist."""
     res = config.vision.image_res
-    S = config.vision.num_patches + 1
+    S = vision_seq_len(config.vision)
     batch = {
         "image": jnp.zeros((1, res, res, 3), jnp.float32),
         "text_ids": jnp.zeros((batch_size, seq_len), jnp.int32),

@@ -37,12 +37,55 @@ from x2vlm_tpu.models.beit2 import BEiT2, BEiT2Config, grouped_image_embeds
 from x2vlm_tpu.models.bert import BertConfig, BertEncoder, BertMLMHead
 from x2vlm_tpu.ops import box as box_ops
 
-__all__ = ["XVLMConfig", "XVLMBase", "cross_entropy", "MlpHead", "make_base"]
+__all__ = ["XVLMConfig", "XVLMBase", "cross_entropy", "MlpHead", "make_base",
+           "build_vision_tower", "vision_width", "vision_seq_len"]
+
+
+def vision_width(vision_cfg) -> int:
+    """Output channel width of a vision tower config (reference
+    build_vision_encoder sets `vision_encoder.vision_width`, xvlm.py:279).
+    Swin's output width is 8x its stem embed_dim (hierarchical doubling)."""
+    w = getattr(vision_cfg, "vision_width", None)
+    return w if isinstance(w, int) else vision_cfg.embed_dim
+
+
+def vision_seq_len(vision_cfg) -> int:
+    """Output token count (pooled/CLS token + patches) of a vision tower.
+
+    BEiT-2 / CLIP-ViT: 1 + (res/patch)². Swin: 1 + (res/32)² — the final
+    stage has downsampled 2^(L-1) times past the patch-4 stem (reference
+    swin_transformer.py:664-687 appends the avgpool token)."""
+    from x2vlm_tpu.models.swin import SwinConfig
+
+    if isinstance(vision_cfg, SwinConfig):
+        stride = vision_cfg.patch_size * 2 ** (vision_cfg.num_layers - 1)
+        return 1 + (vision_cfg.image_res // stride) ** 2
+    return 1 + vision_cfg.num_patches
+
+
+def build_vision_tower(vision_cfg, dtype=jnp.bfloat16) -> nn.Module:
+    """Dispatch a vision tower module on its config type — the swappable
+    backbone contract (reference build_vision_encoder, xvlm.py:172-283).
+    All three towers share the output contract (B, S+1, C) with a summary
+    token at position 0 (BEiT-2/Swin: avgpool; CLIP: a real CLS token), so
+    the composition, grouped-region path, and heads are backbone-agnostic."""
+    if isinstance(vision_cfg, BEiT2Config):
+        return BEiT2(vision_cfg, dtype=dtype)
+    from x2vlm_tpu.models.clip_vit import CLIPViT, CLIPViTConfig
+    from x2vlm_tpu.models.swin import SwinConfig, SwinTransformer
+
+    if isinstance(vision_cfg, CLIPViTConfig):
+        return CLIPViT(vision_cfg, dtype=dtype)
+    if isinstance(vision_cfg, SwinConfig):
+        return SwinTransformer(vision_cfg, dtype=dtype)
+    raise TypeError(f"unknown vision config type {type(vision_cfg).__name__}")
 
 
 @dataclasses.dataclass(frozen=True)
 class XVLMConfig:
-    vision: BEiT2Config = dataclasses.field(default_factory=BEiT2Config)
+    # vision backbone config — BEiT2Config | CLIPViTConfig | SwinConfig; the
+    # tower module is dispatched on the type (build_vision_tower)
+    vision: Any = dataclasses.field(default_factory=BEiT2Config)
     text: BertConfig = dataclasses.field(default_factory=BertConfig)
     embed_dim: int = 256
     temp: float = 0.07
@@ -115,7 +158,7 @@ class XVLMBase(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.vision_encoder = BEiT2(cfg.vision, dtype=self.dtype)
+        self.vision_encoder = build_vision_tower(cfg.vision, dtype=self.dtype)
         self.text_encoder = BertEncoder(cfg.text, dtype=self.dtype)
         if cfg.use_mlm:
             self.mlm_head = BertMLMHead(cfg.text, dtype=self.dtype)
@@ -134,12 +177,12 @@ class XVLMBase(nn.Module):
         if cfg.video_encoding and cfg.add_frame_pos:
             self.frame_pos_embed = self.param(
                 "frame_pos_embed", nn.initializers.truncated_normal(0.02),
-                (1, cfg.frame_len, 1, cfg.vision.embed_dim), jnp.float32)
+                (1, cfg.frame_len, 1, vision_width(cfg.vision)), jnp.float32)
         if cfg.video_encoding == "resampler":
             from x2vlm_tpu.models.resampler import PerceiverResampler
 
             self.resampler = PerceiverResampler(
-                cfg.vision.embed_dim, depth=cfg.resampler_depth,
+                vision_width(cfg.vision), depth=cfg.resampler_depth,
                 num_latents=cfg.resampler_latents, dtype=self.dtype)
 
     # ---------- embeddings ----------

@@ -159,21 +159,68 @@ def maybe_resume(args, state):
     return restored, int(step)
 
 
+def _leaf_count(tree) -> int:
+    return len(jax.tree_util.tree_leaves(tree))
+
+
+def _import_report(params, missing, checkpoint, unused, expect_loaded=()):
+    """Per-subtree import diagnostics: which top-level subtrees stayed fully
+    fresh (instead of a bare count, which hides e.g. an entire cross tower
+    silently missing). ``expect_loaded`` subtrees raise when 100% missing."""
+    from collections import Counter
+
+    base = params["params"].get("base", params["params"])
+    per_tree = Counter(p.split("/")[0] for p in missing)
+    fresh = sorted(
+        k for k, n in per_tree.items()
+        if isinstance(base.get(k), dict) and n >= _leaf_count(base[k]))
+    print(f"### imported {checkpoint}: {len(unused)} unused keys, "
+          f"{len(missing)} missing (fresh) params"
+          + (f"; fully-fresh subtrees: {fresh}" if fresh else ""))
+    for k in sorted(per_tree):
+        if k not in fresh and per_tree[k]:
+            print(f"###   {k}: {per_tree[k]} fresh leaves")
+    bad = [k for k in expect_loaded if k in fresh]
+    if bad:
+        raise ValueError(
+            f"checkpoint import left {bad} entirely fresh, but the config "
+            f"promises they load from {checkpoint} (is_xvlm_ckpt / "
+            f"xvlm_ckpt_text_num_hidden_layers)")
+
+
 def load_initial_params(args, cfg, model, init_variables):
-    """`.th` import with surgery, or orbax restore. Returns (variables,
-    missing) where `missing` are the freshly-initialized param paths that get
-    the optimizer's lr_mult group (reference init_params, xvlm.py:566-577)."""
+    """Checkpoint import with surgery (full XVLM ``.th``, raw CLIP/Swin/BEiT-2
+    vision towers, raw HF BERT — auto-sniffed), or orbax restore. Returns
+    (variables, missing) where `missing` are the freshly-initialized param
+    paths that get the optimizer's lr_mult group (reference init_params,
+    xvlm.py:566-577)."""
+    from x2vlm_tpu.models.xvlm_plus import XVLMPlusConfig
+
+    mcfg = model.config
+    is_plus = isinstance(mcfg, XVLMPlusConfig)
+    if cfg.get("is_xvlm_ckpt") and not is_plus:
+        raise ValueError("is_xvlm_ckpt is a Plus/CCLM import knob (Base→Plus "
+                         "text-stack split); this model is not XVLMPlus")
     if not args.checkpoint:
         return init_variables, []
-    if args.checkpoint.endswith(".th") or args.checkpoint.endswith(".pth"):
+    if args.checkpoint.endswith((".th", ".pth", ".pt", ".bin")):
         sd = ckpt_lib.load_torch_checkpoint(args.checkpoint)
-        vision_depth = cfg.get("vision_num_hidden_layers", 40)
-        window = cfg["image_res"] // cfg.get("patch_size", 16)
-        tree, unused = ckpt_lib.convert_xvlm_state_dict(
-            sd, vision_depth=vision_depth, dst_window=window)
+        tree, unused, kind = ckpt_lib.convert_checkpoint_auto(
+            sd, vision_cfg=mcfg.vision, text_layers=mcfg.text.num_layers,
+            text_fusion_layer=mcfg.text.fusion_layer)
+        expect_loaded = []
+        if is_plus and cfg.get("is_xvlm_ckpt") and kind == "xvlm" and \
+                "cross_encoder" not in tree:
+            # Base→Plus split: the fused text stack's upper layers become the
+            # standalone cross encoder (reference load_pretrained_xvlm)
+            tree = ckpt_lib.split_imported_to_plus(
+                tree,
+                xvlm_text_layers=cfg.get("xvlm_ckpt_text_num_hidden_layers"),
+                replace_text_encoder=cfg.get("replace_text_encoder", False))
+            expect_loaded.append("cross_encoder")
         params, missing = ckpt_lib.merge_imported(init_variables, tree)
-        print(f"### imported {args.checkpoint}: "
-              f"{len(unused)} unused keys, {len(missing)} missing (fresh) params")
+        _import_report(params, missing, args.checkpoint, unused,
+                       expect_loaded=expect_loaded)
         return params, missing
     # orbax checkpoint dir: saved objects are TrainStates — restore without a
     # template and extract the param tree
@@ -220,7 +267,15 @@ def _train_state_and_loop(args, cfg, mesh, model, mcfg, variables, missing,
     runner."""
     epochs = cfg.get("schedular", {}).get("epochs", 5)
     accum = int(cfg.get("accumulate_steps", 1))
-    steps_per_epoch = max(1, len(train_loader) // accum)
+    # ONE optimizer step per loader batch: make_train_step splits each batch
+    # into `accum` sequential microbatches (lax.scan), so batch_size is the
+    # EFFECTIVE per-step batch and accumulate_steps only caps device memory.
+    # steps_per_epoch therefore must NOT divide by accum — the LR schedule's
+    # total_steps, --resume's start_epoch, and the actual optimizer step
+    # count all agree on len(train_loader). (The reference instead steps
+    # every N loader batches, Retrieval.py:40,49-59 — there batch_size is
+    # the microbatch; this framework keeps static shapes per jitted step.)
+    steps_per_epoch = max(1, len(train_loader))
     tx = make_optimizer(cfg, variables["params"],
                         total_steps=steps_per_epoch * epochs,
                         fusion_layer=mcfg.text.fusion_layer,
@@ -303,13 +358,18 @@ def run_retrieval(args, cfg, mesh, task="retrieval"):
             example, rng=jax.random.PRNGKey(0))
         variables, missing = load_initial_params(args, cfg, model, variables)
 
+        # MSRVTT-style video retrieval tracks the best checkpoint by
+        # text→video recall (img_r_mean) instead of the overall mean
+        # (reference --pick_best_t2v, run.py:162, Retrieval.py:367,435)
+        metric_key = "img_r_mean" if cfg.get("pick_best_t2v") else "r_mean"
+
         def eval_fn(v):
             return eval_multi(
                 lambda ds: evaluate_retrieval(
                     model, v, ds, k_test=cfg.get("k_test", 128),
                     host_id=jax.process_index(),
                     num_hosts=jax.process_count()),
-                test_ds, mean_key="r_mean")
+                test_ds, mean_key=metric_key)
 
         if evaluate_only:
             metrics = eval_fn(variables)
@@ -322,7 +382,7 @@ def run_retrieval(args, cfg, mesh, task="retrieval"):
                            num_hosts=jax.process_count())
         _train_state_and_loop(
             args, cfg, mesh, model, mcfg, variables, missing, loader,
-            eval_fn=lambda v: eval_fn(v), metric_key="r_mean")
+            eval_fn=lambda v: eval_fn(v), metric_key=metric_key)
 
 
 def run_nlvr(args, cfg, mesh, task="nlvr"):

@@ -24,6 +24,8 @@ import numpy as np
 
 __all__ = [
     "convert_xvlm_state_dict",
+    "convert_checkpoint_auto",
+    "split_imported_to_plus",
     "load_torch_checkpoint",
     "merge_imported",
     "save_train_state",
@@ -130,13 +132,20 @@ def convert_xvlm_state_dict(
     vision_depth: int,
     dst_window: Optional[int] = None,
     load_mlm_head: bool = True,
+    vision_cfg: Any = None,
 ) -> Dict[str, Any]:
     """Convert a reference XVLM(Base) torch state dict to this framework's
     param tree (contents of ``params['base']``). Returns (tree, unused_keys).
 
-    Handles: BEiT-2 vision towers (fused-qkv split, q/v-only bias, per-block
-    rel-pos tables with optional window interpolation), the 18-layer
-    BERT text+fusion stack, projection/ITM/bbox/MLM heads, temp.
+    Handles: all three vision towers — BEiT-2 (fused-qkv split, q/v-only
+    bias, per-block rel-pos tables with optional window interpolation), CLIP
+    (``vision_encoder.encoder.layers...``) and Swin
+    (``vision_encoder.layers.N.blocks...``) — dispatched on the checkpoint's
+    own key flavor (the reference stores each backbone under its native
+    names, xvlm.py:172-283); plus the 18-layer BERT text+fusion stack,
+    projection/ITM/bbox/MLM heads, temp. ``vision_cfg`` (the structured
+    vision config, optional) supplies the target depth / window for CLIP
+    layer subsampling and Swin rel-pos interpolation.
     """
     tree: Dict[str, Any] = {}
     used = set()
@@ -145,52 +154,82 @@ def convert_xvlm_state_dict(
         used.add(key)
         return sd[key]
 
-    # ---- vision encoder (BEiT-2) ----
-    if "vision_encoder.cls_token" in sd:
-        _set(tree, "vision_encoder/cls_token", take("vision_encoder.cls_token"))
-    if "vision_encoder.patch_embed.proj.weight" in sd:
-        w = take("vision_encoder.patch_embed.proj.weight")  # (C, 3, p, p)
-        _set(tree, "vision_encoder/patch_embed/kernel", w.transpose(2, 3, 1, 0))
-        _set(tree, "vision_encoder/patch_embed/bias",
-             take("vision_encoder.patch_embed.proj.bias"))
-    for ln_name in ("fc_norm",):
-        wk = f"vision_encoder.{ln_name}.weight"
-        if wk in sd:
-            _set(tree, f"vision_encoder/{ln_name}/scale", take(wk))
-            _set(tree, f"vision_encoder/{ln_name}/bias",
-                 take(f"vision_encoder.{ln_name}.bias"))
+    # ---- vision encoder: dispatch on the checkpoint's tower flavor ----
+    vis = {k[len("vision_encoder."):]: v for k, v in sd.items()
+           if k.startswith("vision_encoder.")}
+    clip_like = any(k.startswith("encoder.layers.") or k == "class_embedding"
+                    for k in vis)
+    swin_like = any(re.match(r"layers\.\d+\.blocks\.", k) for k in vis)
+    if clip_like:
+        n_src = 1 + max((int(m.group(1)) for k in vis
+                         if (m := re.match(r"encoder\.layers\.(\d+)\.", k))),
+                        default=-1)
+        to_depth = getattr(vision_cfg, "depth", None) or n_src
+        vtree, vunused = convert_clip_vit_checkpoint(vis, depth=to_depth)
+        tree["vision_encoder"] = vtree
+        used.update("vision_encoder." + k for k in vis
+                    if k not in set(vunused))
+    elif swin_like:
+        stage_of = {}
+        for k in vis:
+            m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.", k)
+            if m:
+                s, b = int(m.group(1)), int(m.group(2))
+                stage_of[s] = max(stage_of.get(s, 0), b + 1)
+        depths = tuple(stage_of[s] for s in sorted(stage_of))
+        win = getattr(vision_cfg, "window_size", None)
+        vtree, vunused = convert_swin_checkpoint(vis, depths=depths,
+                                                 dst_window=win)
+        tree["vision_encoder"] = vtree
+        used.update("vision_encoder." + k for k in vis
+                    if k not in set(vunused))
+    else:
+        # BEiT-2 (the X2-VLM default)
+        if "vision_encoder.cls_token" in sd:
+            _set(tree, "vision_encoder/cls_token", take("vision_encoder.cls_token"))
+        if "vision_encoder.patch_embed.proj.weight" in sd:
+            w = take("vision_encoder.patch_embed.proj.weight")  # (C, 3, p, p)
+            _set(tree, "vision_encoder/patch_embed/kernel", w.transpose(2, 3, 1, 0))
+            _set(tree, "vision_encoder/patch_embed/bias",
+                 take("vision_encoder.patch_embed.proj.bias"))
+        for ln_name in ("fc_norm",):
+            wk = f"vision_encoder.{ln_name}.weight"
+            if wk in sd:
+                _set(tree, f"vision_encoder/{ln_name}/scale", take(wk))
+                _set(tree, f"vision_encoder/{ln_name}/bias",
+                     take(f"vision_encoder.{ln_name}.bias"))
 
-    for i in range(vision_depth):
-        p = f"vision_encoder.blocks.{i}"
-        q = f"vision_encoder/block_{i}"
-        if f"{p}.norm1.weight" not in sd:
-            continue
-        _set(tree, f"{q}/norm1/scale", take(f"{p}.norm1.weight"))
-        _set(tree, f"{q}/norm1/bias", take(f"{p}.norm1.bias"))
-        _set(tree, f"{q}/norm2/scale", take(f"{p}.norm2.weight"))
-        _set(tree, f"{q}/norm2/bias", take(f"{p}.norm2.bias"))
-        qkv = take(f"{p}.attn.qkv.weight")  # (3C, C)
-        c = qkv.shape[0] // 3
-        _set(tree, f"{q}/attn/query/kernel", _t(qkv[:c]))
-        _set(tree, f"{q}/attn/key/kernel", _t(qkv[c:2 * c]))
-        _set(tree, f"{q}/attn/value/kernel", _t(qkv[2 * c:]))
-        _set(tree, f"{q}/attn/query/bias", take(f"{p}.attn.q_bias"))
-        _set(tree, f"{q}/attn/value/bias", take(f"{p}.attn.v_bias"))
-        _set(tree, f"{q}/attn/out/kernel", _t(take(f"{p}.attn.proj.weight")))
-        _set(tree, f"{q}/attn/out/bias", take(f"{p}.attn.proj.bias"))
-        _set(tree, f"{q}/gamma_1", take(f"{p}.gamma_1"))
-        _set(tree, f"{q}/gamma_2", take(f"{p}.gamma_2"))
-        _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{p}.mlp.fc1.weight")))
-        _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.mlp.fc1.bias"))
-        _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{p}.mlp.fc2.weight")))
-        _set(tree, f"{q}/mlp/fc2/bias", take(f"{p}.mlp.fc2.bias"))
-        table = take(f"{p}.attn.relative_position_bias_table")
-        if dst_window is not None:
-            src_window = int((np.sqrt(table.shape[0] - 3) + 1) / 2)
-            if src_window != dst_window:
-                table = _interp_rel_pos_table(table, src_window, dst_window)
-        _set(tree, f"vision_encoder/rel_pos_table_{i}", table)
-        used.add(f"{p}.attn.relative_position_index")  # static buffer
+        for i in range(vision_depth):
+            p = f"vision_encoder.blocks.{i}"
+            q = f"vision_encoder/block_{i}"
+            if f"{p}.norm1.weight" not in sd:
+                continue
+            _set(tree, f"{q}/norm1/scale", take(f"{p}.norm1.weight"))
+            _set(tree, f"{q}/norm1/bias", take(f"{p}.norm1.bias"))
+            _set(tree, f"{q}/norm2/scale", take(f"{p}.norm2.weight"))
+            _set(tree, f"{q}/norm2/bias", take(f"{p}.norm2.bias"))
+            qkv = take(f"{p}.attn.qkv.weight")  # (3C, C)
+            c = qkv.shape[0] // 3
+            _set(tree, f"{q}/attn/query/kernel", _t(qkv[:c]))
+            _set(tree, f"{q}/attn/key/kernel", _t(qkv[c:2 * c]))
+            _set(tree, f"{q}/attn/value/kernel", _t(qkv[2 * c:]))
+            _set(tree, f"{q}/attn/query/bias", take(f"{p}.attn.q_bias"))
+            _set(tree, f"{q}/attn/value/bias", take(f"{p}.attn.v_bias"))
+            _set(tree, f"{q}/attn/out/kernel", _t(take(f"{p}.attn.proj.weight")))
+            _set(tree, f"{q}/attn/out/bias", take(f"{p}.attn.proj.bias"))
+            _set(tree, f"{q}/gamma_1", take(f"{p}.gamma_1"))
+            _set(tree, f"{q}/gamma_2", take(f"{p}.gamma_2"))
+            _set(tree, f"{q}/mlp/fc1/kernel", _t(take(f"{p}.mlp.fc1.weight")))
+            _set(tree, f"{q}/mlp/fc1/bias", take(f"{p}.mlp.fc1.bias"))
+            _set(tree, f"{q}/mlp/fc2/kernel", _t(take(f"{p}.mlp.fc2.weight")))
+            _set(tree, f"{q}/mlp/fc2/bias", take(f"{p}.mlp.fc2.bias"))
+            table = take(f"{p}.attn.relative_position_bias_table")
+            if dst_window is not None:
+                src_window = int((np.sqrt(table.shape[0] - 3) + 1) / 2)
+                if src_window != dst_window:
+                    table = _interp_rel_pos_table(table, src_window, dst_window)
+            _set(tree, f"vision_encoder/rel_pos_table_{i}", table)
+            used.add(f"{p}.attn.relative_position_index")  # static buffer
 
     # ---- text encoder (xbert fork; xroberta uses '.roberta.') ----
     if any(k.startswith("text_encoder.bert.") for k in sd):
@@ -494,7 +533,11 @@ def convert_clip_vit_checkpoint(sd: Dict[str, np.ndarray], *, depth: int
     """Import an OpenAI CLIP vision tower (HF layout after the reference's
     renames, xvlm.py:179-217: ``vision_model.`` prefix stripped, embeddings
     flattened) into the CLIPViT tree. Accepts either raw HF names
-    (``vision_model.encoder.layers...``) or pre-stripped ones."""
+    (``vision_model.encoder.layers...``) or pre-stripped ones.
+
+    ``depth`` is the TARGET model depth. A 12-layer checkpoint loading into a
+    6-layer model takes every other layer starting from 1 — the reference's
+    mapper {1:0, 3:1, 5:2, 7:3, 9:4, 11:5} (xvlm.py:215-217)."""
     # normalize: strip vision_model./embeddings. like the reference loader
     norm = {}
     for k, v in sd.items():
@@ -527,8 +570,19 @@ def convert_clip_vit_checkpoint(sd: Dict[str, np.ndarray], *, depth: int
         if f"{src}.weight" in norm:
             _set(tree, f"{dst}/scale", take(f"{src}.weight"))
             _set(tree, f"{dst}/bias", take(f"{src}.bias"))
+    src_re = re.compile(r"encoder\.layers\.(\d+)\.")
+    n_src = 1 + max((int(m.group(1)) for k in norm if (m := src_re.match(k))),
+                    default=-1)
+    if n_src in (0, depth):
+        src_of = lambda i: i
+    elif n_src == 2 * depth:
+        src_of = lambda i: 2 * i + 1  # every-other init (ref xvlm.py:215-217)
+    else:
+        raise ValueError(
+            f"CLIP layer-count mismatch: checkpoint has {n_src}, model wants "
+            f"{depth} (only N->N and 2N->N every-other init are defined)")
     for i in range(depth):
-        p = f"encoder.layers.{i}"
+        p = f"encoder.layers.{src_of(i)}"
         q = f"block_{i}"
         if f"{p}.self_attn.q_proj.weight" not in norm:
             continue
@@ -660,6 +714,89 @@ def convert_hf_bert_checkpoint(sd: Dict[str, np.ndarray], *,
     if "mlm_head" in tree:
         out["mlm_head"] = tree["mlm_head"]
     return out, unused
+
+
+def convert_checkpoint_auto(sd: Dict[str, np.ndarray], *, vision_cfg=None,
+                            text_layers: Optional[int] = None,
+                            text_fusion_layer: int = 12):
+    """Sniff a torch state dict's flavor and convert it (reference: each
+    backbone/stage has its own loader — load_pretrained_beit2, the CLIP/Swin
+    branches of build_vision_encoder xvlm.py:172-283, load_pretrained_text
+    xvlm.py:1124-1138, and whole-model load_pretrained xvlm.py:390-460).
+
+    Recognized flavors → (tree, unused, kind):
+    - full XVLM/X2-VLM ``.th`` (``vision_encoder.*`` / ``text_encoder.*``)
+    - raw HF CLIP vision tower (``vision_model.*`` / ``encoder.layers.*``)
+    - raw timm Swin (``layers.N.blocks.*``)
+    - raw BEiT-2 (``blocks.N.*``, optional shared ``rel_pos_bias`` table)
+    - raw HF BERT/RoBERTa (``bert./roberta./encoder.layer.*``)
+    """
+    from x2vlm_tpu.models.beit2 import BEiT2Config
+
+    def beit_window():
+        return (vision_cfg.window[0]
+                if isinstance(vision_cfg, BEiT2Config) else None)
+
+    if any(k.startswith(("vision_encoder.", "text_encoder.")) for k in sd):
+        depth = getattr(vision_cfg, "depth", 40) or 40
+        tree, unused = convert_xvlm_state_dict(
+            sd, vision_depth=depth, dst_window=beit_window(),
+            vision_cfg=vision_cfg)
+        return tree, unused, "xvlm"
+    if any(k.startswith("vision_model.") or k.endswith("class_embedding")
+           or k.startswith("encoder.layers.") for k in sd):
+        vtree, unused = convert_clip_vit_checkpoint(
+            sd, depth=getattr(vision_cfg, "depth", 12))
+        return {"vision_encoder": vtree}, unused, "clip"
+    if any(re.match(r"layers\.\d+\.blocks\.", k) for k in sd):
+        vtree, unused = convert_swin_checkpoint(
+            sd, depths=getattr(vision_cfg, "depths", (2, 2, 18, 2)),
+            dst_window=getattr(vision_cfg, "window_size", None))
+        return {"vision_encoder": vtree}, unused, "swin"
+    if any(re.match(r"blocks\.\d+\.", k) for k in sd) or \
+            "rel_pos_bias.relative_position_bias_table" in sd:
+        vtree, unused = convert_beit2_checkpoint(
+            sd, depth=getattr(vision_cfg, "depth", 12),
+            dst_window=beit_window())
+        return {"vision_encoder": vtree}, unused, "beit2"
+    if any(k.startswith(("bert.", "roberta.", "encoder.layer.",
+                         "embeddings.word_embeddings")) for k in sd):
+        tree, unused = convert_hf_bert_checkpoint(
+            sd, to_layers=text_layers, fusion_layer=text_fusion_layer)
+        return tree, unused, "bert"
+    raise ValueError(
+        "unrecognized checkpoint flavor; expected an XVLM .th, a raw "
+        "CLIP/Swin/BEiT-2 vision tower, or an HF BERT/RoBERTa state dict "
+        f"(first keys: {sorted(sd)[:5]})")
+
+
+def split_imported_to_plus(tree: Dict[str, Any], *,
+                           xvlm_text_layers: Optional[int] = None,
+                           replace_text_encoder: bool = False
+                           ) -> Dict[str, Any]:
+    """Base→Plus checkpoint surgery on a converted tree: the fused 18-layer
+    text stack splits into text[0:T] / cross_encoder[T:] (reference
+    load_pretrained_xvlm, xvlm.py:1073-1121; ``T`` is the config's
+    ``xvlm_ckpt_text_num_hidden_layers``). With ``replace_text_encoder``
+    (CCLM: a fresh XLM-R takes the text tower's place) the text tower is
+    dropped and the MLM head keeps only its vocab-independent transform
+    (the reference deletes cls.predictions.decoder/bias, xvlm.py:1105-1115).
+    """
+    from x2vlm_tpu.models.xvlm_plus import split_params_to_plus
+
+    text = tree.get("text_encoder", {})
+    n_layers = 1 + max((int(k.split("_")[1]) for k in text
+                        if k.startswith("layer_")), default=-1)
+    if xvlm_text_layers is None:
+        xvlm_text_layers = 12
+    out = split_params_to_plus(tree, fusion_layer=xvlm_text_layers,
+                               num_layers=n_layers,
+                               replace_text_encoder=replace_text_encoder)
+    if replace_text_encoder and "mlm_head" in out:
+        head = {k: v for k, v in out["mlm_head"].items()
+                if k not in ("decoder", "decoder_bias")}
+        out["mlm_head"] = head
+    return out
 
 
 # ---------- native checkpointing (orbax) ----------
