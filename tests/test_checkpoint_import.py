@@ -407,3 +407,120 @@ def test_rel_pos_interpolation_matches_reference_algorithm():
     got = _interp_rel_pos_table(table, src_window=14, dst_window=24)
     assert got.shape == (dst_size * dst_size + 3, heads)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def _plus_cfg_dict(replace_text_encoder):
+    """Tiny CCLM config matching GoldenXVLM's dims (vocab 100, width 32):
+    2-layer uni-modal text tower + 2-layer standalone cross encoder, importing
+    from an XVLMBase .th whose fused text stack has 4 layers split at 2."""
+    return {
+        "model_type": "cclm",
+        "image_res": 32,
+        "vision_config_inline": {"vision_width": 32, "patch_size": 16,
+                                 "num_hidden_layers": 2,
+                                 "num_attention_heads": 2},
+        "text_encoder": "bert-tiny",
+        "text_num_hidden_layers": 2,
+        "text_fusion_start_at": 2,
+        "num_cross_layers": 2,
+        "text_config_inline": {"vocab_size": 100, "hidden_size": 32,
+                               "num_heads": 2, "intermediate_size": 64,
+                               "hidden_dropout": 0.0, "attn_dropout": 0.0,
+                               "max_position_embeddings": 64},
+        "embed_dim": 16,
+        "is_xvlm_ckpt": True,
+        "xvlm_ckpt_text_num_hidden_layers": 2,
+        "replace_text_encoder": replace_text_encoder,
+    }
+
+
+def test_base_to_plus_import_end_to_end(tmp_path):
+    """launcher-level Base→Plus checkpoint split (reference
+    load_pretrained_xvlm, xvlm.py:1073-1121, config contract
+    multilingual_cclm_x2vlm_base.yaml:65-67): importing an XVLMBase .th into
+    a CCLM/Plus model through run.load_initial_params must map the fused
+    text stack's upper layers onto the standalone cross encoder — numerically,
+    and with no cross_encoder path left fresh."""
+    from types import SimpleNamespace
+
+    from x2vlm_tpu.factory import build_model
+    from x2vlm_tpu.models.heads import pretrain_init_inputs
+    from x2vlm_tpu.run import load_initial_params
+
+    torch.manual_seed(0)
+    golden = GoldenXVLM().eval()  # 4-layer fused text stack, fusion at 2
+    sd = golden.state_dict()
+    path = str(tmp_path / "x2vlm_base.th")
+    torch.save(sd, path)
+    args = SimpleNamespace(checkpoint=path, resume=False)
+
+    cfg = _plus_cfg_dict(replace_text_encoder=False)
+    model, mcfg = build_model(cfg, "pretrain", dtype=jnp.float32)
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pretrain_init_inputs(mcfg), rng=jax.random.PRNGKey(2),
+        ret_bbox_loss=True)
+    variables, missing = load_initial_params(args, cfg, model, init)
+    base = variables["params"]["base"]
+
+    assert not any(p.startswith("cross_encoder") for p in missing), \
+        [p for p in missing if p.startswith("cross_encoder")]
+    # cross layer j == golden fused-text layer (split + j), numerically
+    for j, src in ((0, 2), (1, 3)):
+        got = np.asarray(
+            base["cross_encoder"][f"layer_{j}"]["self_attn"]["query"]["kernel"])
+        want = sd[f"text_encoder.bert.encoder.layer.{src}"
+                  f".attention.self.query.weight"].numpy().T
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        got_mlp = np.asarray(
+            base["cross_encoder"][f"layer_{j}"]["mlp"]["fc1"]["kernel"])
+        want_mlp = sd[f"text_encoder.bert.encoder.layer.{src}"
+                      f".intermediate.dense.weight"].numpy().T
+        np.testing.assert_allclose(got_mlp, want_mlp, rtol=1e-6)
+    # the lower text layers stay in the (kept) text tower
+    got = np.asarray(
+        base["text_encoder"]["layer_0"]["self_attn"]["query"]["kernel"])
+    want = sd["text_encoder.bert.encoder.layer.0"
+              ".attention.self.query.weight"].numpy().T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_base_to_plus_import_replace_text_encoder(tmp_path):
+    """CCLM variant: replace_text_encoder drops the .th's text tower (a fresh
+    XLM-R takes its place) and the MLM head keeps only its vocab-independent
+    transform (reference xvlm.py:1105-1115)."""
+    from types import SimpleNamespace
+
+    from x2vlm_tpu.factory import build_model
+    from x2vlm_tpu.models.heads import pretrain_init_inputs
+    from x2vlm_tpu.run import load_initial_params
+
+    torch.manual_seed(0)
+    golden = GoldenXVLM().eval()
+    sd = golden.state_dict()
+    path = str(tmp_path / "x2vlm_base.th")
+    torch.save(sd, path)
+    args = SimpleNamespace(checkpoint=path, resume=False)
+
+    cfg = _plus_cfg_dict(replace_text_encoder=True)
+    model, mcfg = build_model(cfg, "pretrain", dtype=jnp.float32)
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pretrain_init_inputs(mcfg), rng=jax.random.PRNGKey(2),
+        ret_bbox_loss=True)
+    variables, missing = load_initial_params(args, cfg, model, init)
+    base = variables["params"]["base"]
+
+    assert not any(p.startswith("cross_encoder") for p in missing)
+    # text tower entirely fresh (the golden values must NOT have landed)
+    assert any(p.startswith("text_encoder/") for p in missing)
+    got = np.asarray(
+        base["text_encoder"]["layer_0"]["self_attn"]["query"]["kernel"])
+    want = sd["text_encoder.bert.encoder.layer.0"
+              ".attention.self.query.weight"].numpy().T
+    assert not np.allclose(got, want)
+    # vocab-tied MLM decoder bias stays fresh; the transform transfers
+    assert any(p.startswith("mlm_head/") and "decoder" in p for p in missing)
+    got_t = np.asarray(base["mlm_head"]["transform_dense"]["kernel"])
+    want_t = sd["text_encoder.cls.predictions.transform.dense.weight"].numpy().T
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-6)
