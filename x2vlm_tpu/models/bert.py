@@ -28,8 +28,12 @@ import dataclasses
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from x2vlm_tpu.ops.fused_ce import (
+    fused_vocab_ce, fused_vocab_ce_weighted, softmax_ce,
+)
 from x2vlm_tpu.ops.layers import (
     ACTIVATIONS, FusedLayerNorm, Mlp, MultiHeadAttention, gelu_exact,
 )
@@ -277,13 +281,24 @@ class BertEncoder(nn.Module):
 
 class BertMLMHead(nn.Module):
     """transform(dense+gelu+LN) → vocab decoder; logits only at masked slots
-    when masked_pos is given (reference xbert.py:789-827,1591-1673)."""
+    when masked_pos is given (reference xbert.py:789-827,1591-1673).
+
+    With ``labels`` the head returns the scalar MLM loss instead of logits;
+    on the tied-decoder path the decoder matmul and the cross-entropy fuse
+    into ops.fused_ce, which never materializes the (B·M, vocab) fp32 logits
+    (the reference pays torch F.cross_entropy's full-logits round trips).
+    ``label_smoothing`` (static float) selects the smoothed-CE form
+    (reference model_generation.py:16-50); ``label_weights`` (same shape as
+    labels, fp32) switches the reduction to a plain weighted SUM — rows to
+    drop must carry weight 0 — which expresses the SCST advantage-weighted
+    loss without a second vocab pass."""
 
     config: BertConfig
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden, masked_pos=None, embedding_table=None):
+    def __call__(self, hidden, masked_pos=None, embedding_table=None,
+                 labels=None, label_weights=None, label_smoothing=0.0):
         cfg = self.config
         if masked_pos is not None:
             # (B, M) gather before the vocab matmul — the reference's key
@@ -303,9 +318,47 @@ class BertMLMHead(nn.Module):
             # flow into the shared embedding matrix)
             bias = self.param("decoder_bias", nn.initializers.zeros,
                               (cfg.vocab_size,), jnp.float32)
+            if labels is not None:
+                flat_h = h.reshape(-1, dim)
+                flat_labels = labels.reshape(-1)
+                if label_weights is not None:
+                    return fused_vocab_ce_weighted(
+                        flat_h, embedding_table, bias, flat_labels,
+                        label_weights.reshape(-1), label_smoothing)
+                if label_smoothing:
+                    valid = flat_labels != -100
+                    w = valid.astype(jnp.float32) / jnp.maximum(
+                        jnp.sum(valid), 1)
+                    return fused_vocab_ce_weighted(
+                        flat_h, embedding_table, bias, flat_labels, w,
+                        label_smoothing)
+                return fused_vocab_ce(
+                    flat_h, embedding_table, bias, flat_labels,
+                    jnp.ones(flat_labels.shape, bool))
             logits = h @ embedding_table.astype(self.dtype).T + \
                 bias.astype(self.dtype)
         else:
             logits = nn.Dense(cfg.vocab_size, dtype=self.dtype,
                               param_dtype=jnp.float32, name="decoder")(h)
+            if labels is not None:
+                if label_weights is not None or label_smoothing:
+                    from x2vlm_tpu.models.generation import (
+                        label_smoothing_loss,
+                    )
+                    if label_weights is not None:
+                        logits = logits.astype(jnp.float32)
+                        logp = jax.nn.log_softmax(logits, axis=-1)
+                        v = logits.shape[-1]
+                        safe = jnp.clip(labels, 0, v - 1)
+                        nll = -jnp.take_along_axis(
+                            logp, safe[..., None], axis=-1)[..., 0]
+                        row = (1.0 - label_smoothing) * nll
+                        if label_smoothing:
+                            row = row + label_smoothing * (
+                                -jnp.mean(logp, axis=-1))
+                        return jnp.sum(label_weights * row)
+                    return label_smoothing_loss(
+                        logits.astype(jnp.float32), labels,
+                        smoothing=label_smoothing)
+                return softmax_ce(logits.astype(jnp.float32), labels)
         return logits.astype(jnp.float32)

@@ -60,22 +60,27 @@ class XVLMForMLMCaptioning(nn.Module):
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
             mode="multi_modal", deterministic=deterministic)
-        logits = base.mlm_head(hidden, masked_pos=batch["masked_pos"],
-                               embedding_table=base._tied_table())
         labels = jnp.where(batch["masked_weight"] > 0, batch["masked_ids"], -100)
         labels = jnp.where(labels == self.cls_token_id, -100, labels)
+        # labels routed into the head: the tied-decoder vocab matmul and the
+        # CE fuse (ops.fused_ce — no (B·M, vocab) fp32 logits materialized)
         if batch.get("sample_weights") is not None:
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # SCST policy gradient: per-row mean NLL (no smoothing) weighted
+            # by the row's advantage, averaged over the batch — expressed as
+            # one weighted sum: w[b,m] = valid/row_count * advantage[b]/B
             valid = labels != -100
-            safe = jnp.where(valid, labels, 0)
-            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-            nll = jnp.where(valid, nll, 0.0)
-            row = jnp.sum(nll, axis=-1) / jnp.maximum(
-                jnp.sum(valid, axis=-1), 1)
-            loss = jnp.mean(batch["sample_weights"].astype(jnp.float32) * row)
+            row_count = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
+            w = valid.astype(jnp.float32) / row_count.astype(jnp.float32) * (
+                batch["sample_weights"].astype(jnp.float32)[:, None]
+                / labels.shape[0])
+            loss = base.mlm_head(hidden, masked_pos=batch["masked_pos"],
+                                 embedding_table=base._tied_table(),
+                                 labels=labels, label_weights=w)
             return {"loss_scst": loss}
-        loss = label_smoothing_loss(logits, labels,
-                                    smoothing=self.label_smoothing)
+        loss = base.mlm_head(hidden, masked_pos=batch["masked_pos"],
+                             embedding_table=base._tied_table(),
+                             labels=labels,
+                             label_smoothing=self.label_smoothing)
         return {"loss_caption": loss}
 
     # ---- decoding primitives (jitted by beam_search_generate) ----

@@ -421,9 +421,11 @@ class XVLMBase(nn.Module):
             [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)], 0)
         loss_itm = cross_entropy(itm_logits, itm_labels)
 
-        mlm_logits = self.mlm_head(cross[3 * bs:], masked_pos=masked_pos,
-                                   embedding_table=self._tied_table())
-        loss_mlm = cross_entropy(mlm_logits, masked_ids)
+        # labels routed into the head: tied-decoder matmul + CE fuse into
+        # ops.fused_ce (no (B·M, vocab) fp32 logits materialized)
+        loss_mlm = self.mlm_head(cross[3 * bs:], masked_pos=masked_pos,
+                                 embedding_table=self._tied_table(),
+                                 labels=masked_ids)
         return loss_itm, loss_mlm
 
     def get_mlm_loss(self, text_ids_masked, text_atts, image_embeds, image_atts,
@@ -431,9 +433,9 @@ class XVLMBase(nn.Module):
         cross = self.get_cross_embeds(
             image_embeds, image_atts, text_ids=text_ids_masked,
             text_atts=text_atts, deterministic=deterministic)
-        logits = self.mlm_head(cross, masked_pos=masked_pos,
-                               embedding_table=self._tied_table())
-        return cross_entropy(logits, masked_ids)
+        return self.mlm_head(cross, masked_pos=masked_pos,
+                             embedding_table=self._tied_table(),
+                             labels=masked_ids)
 
     def predict_bbox(self, image_embeds, text_embeds, text_atts):
         """cross CLS → bbox head → sigmoid cxcywh (reference xvlm.py:910-925)."""

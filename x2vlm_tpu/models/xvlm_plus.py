@@ -71,14 +71,12 @@ class XVLMPlusBase(XVLMBase):
 
     def get_mlm_loss(self, text_ids_masked, text_atts, image_embeds, image_atts,
                      masked_pos, masked_ids, deterministic: bool = True):
-        from x2vlm_tpu.models.xvlm import cross_entropy
-
         cross = self.get_cross_embeds(
             image_embeds, image_atts, text_ids=text_ids_masked,
             text_atts=text_atts, deterministic=deterministic)
-        logits = self.mlm_head(cross, masked_pos=masked_pos,
-                               embedding_table=self._tied_table())
-        return cross_entropy(logits, masked_ids)
+        return self.mlm_head(cross, masked_pos=masked_pos,
+                             embedding_table=self._tied_table(),
+                             labels=masked_ids)
 
 
 class XVLMPlusForPretrain(nn.Module):
