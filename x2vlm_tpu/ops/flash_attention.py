@@ -541,28 +541,45 @@ def _flash_backward(res, g, causal, scale, block_q=None, block_kv=None):
         [do, lse, delta] + ([bias_p] if has_bias else [])
 
     # ---- dQ: grid (H, Q blocks, batch blocks) ----
-    row_bytes = (3 * block_q * D + 3 * Skv_p * D) * 2 + \
-        Skv_p * 4 + 2 * block_q * 4 + \
-        4 * block_q * block_kv * 4 + block_q * D * 4   # s/p/dp/ds + acc
-    shared = block_q * Skv_p * 2 if has_bias else 0
+    # Like the dBias kernel below, even nb=1 can exceed the ~16 MB scoped-vmem
+    # stack at long biased sequences (caught on chip at Sq=Skv=2560: the
+    # 512/512 tiles' f32 temporaries + the (bq, Skv_p) bias block estimate at
+    # 16.3 MB) — halve this kernel's q-block until the double-buffered set
+    # fits. Tiled (multi-block) paths use 128-aligned blocks, so halving
+    # preserves the %128 dynamic-lane-start requirement; whole-sequence
+    # 8-aligned blocks (e.g. 584 @384px) fail the %128 halving guard and keep
+    # their measured-fastest single block (they fit the real stack).
+    bq_dq = block_q
+
+    def _dq_bytes(bq):
+        row = (3 * bq * D + 3 * Skv_p * D) * 2 + \
+            Skv_p * 4 + 2 * bq * 4 + \
+            4 * bq * block_kv * 4 + bq * D * 4   # s/p/dp/ds + acc
+        sh = bq * Skv_p * 2 if has_bias else 0
+        return row, sh
+
+    while (bq_dq > 128 and 2 * sum(_dq_bytes(bq_dq)) > _VMEM_BUDGET
+           and (bq_dq // 2) % 128 == 0 and Sq_p % (bq_dq // 2) == 0):
+        bq_dq //= 2
+    row_bytes, shared = _dq_bytes(bq_dq)
     nb = _pick_nb(B, row_bytes, shared)
 
-    def qspec(n):
-        return pl.BlockSpec((n, 1, block_q, D), lambda h, i, bb: (bb, h, i, 0))
+    def qspec(n, bq=bq_dq):
+        return pl.BlockSpec((n, 1, bq, D), lambda h, i, bb: (bb, h, i, 0))
 
-    def lse_spec(n):
-        return pl.BlockSpec((n, 1, block_q, 1), lambda h, i, bb: (bb, h, i, 0))
+    def lse_spec(n, bq=bq_dq):
+        return pl.BlockSpec((n, 1, bq, 1), lambda h, i, bb: (bb, h, i, 0))
 
     kfull = pl.BlockSpec((nb, 1, Skv_p, D), lambda h, i, bb: (bb, h, 0, 0))
     krow_spec = pl.BlockSpec((B, Skv_p), lambda h, i, bb: (0, 0))
     specs = [qspec(nb), kfull, kfull] + ([krow_spec] if has_krow else []) + \
         [qspec(nb), lse_spec(nb), lse_spec(nb)]
     if has_bias:
-        specs.append(_bias_spec(bias, nb, block_q, Skv_p))
+        specs.append(_bias_spec(bias, nb, bq_dq, Skv_p))
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, has_krow, has_bias, causal, block_q,
+        functools.partial(_dq_kernel, has_krow, has_bias, causal, bq_dq,
                           block_kv, Skv, Skv_p, scale),
-        grid=(H, Sq_p // block_q, B // nb),
+        grid=(H, Sq_p // bq_dq, B // nb),
         in_specs=specs,
         out_specs=qspec(nb),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
@@ -570,13 +587,26 @@ def _flash_backward(res, g, causal, scale, block_q=None, block_kv=None):
     )(*operands_all)
 
     # ---- dK/dV: full-Q panels per program, (H, KV blocks, batch blocks) ----
-    row_bytes = (2 * Sq_p * D + 4 * block_kv * D) * 2 + \
-        block_kv * 4 + 2 * Sq_p * 4 + \
-        4 * block_q * block_kv * 4 + 2 * block_kv * D * 4  # temps + accs
-    shared = Sq_p * block_kv * 2 if has_bias else 0
+    # Same scoped-vmem guard as dQ: this was the kernel the chip actually
+    # flagged at Sq=Skv=2560 biased (16.06 MiB vs the 16 MiB stack, estimate
+    # 16.03 MB) — halve the KV block (the (Sq_p, bkv) bias panel and the
+    # s/p/dp/ds temporaries both scale with it) until the set fits.
+    bkv_kv = block_kv
+
+    def _dkv_bytes(bkv):
+        row = (2 * Sq_p * D + 4 * bkv * D) * 2 + \
+            bkv * 4 + 2 * Sq_p * 4 + \
+            4 * block_q * bkv * 4 + 2 * bkv * D * 4  # temps + accs
+        sh = Sq_p * bkv * 2 if has_bias else 0
+        return row, sh
+
+    while (bkv_kv > 128 and 2 * sum(_dkv_bytes(bkv_kv)) > _VMEM_BUDGET
+           and (bkv_kv // 2) % 128 == 0 and Skv_p % (bkv_kv // 2) == 0):
+        bkv_kv //= 2
+    row_bytes, shared = _dkv_bytes(bkv_kv)
     nb_kv = _pick_nb(B, row_bytes, shared)
     qpanel = pl.BlockSpec((nb_kv, 1, Sq_p, D), lambda h, i, bb: (bb, h, 0, 0))
-    kblk = pl.BlockSpec((nb_kv, 1, block_kv, D), lambda h, i, bb: (bb, h, i, 0))
+    kblk = pl.BlockSpec((nb_kv, 1, bkv_kv, D), lambda h, i, bb: (bb, h, i, 0))
     krow_blk = pl.BlockSpec((B, Skv_p), lambda h, i, bb: (0, 0))
     lse_panel = pl.BlockSpec((nb_kv, 1, Sq_p, 1), lambda h, i, bb: (bb, h, 0, 0))
     kv_specs = [qpanel, kblk, kblk] + ([krow_blk] if has_krow else []) + \
@@ -584,13 +614,13 @@ def _flash_backward(res, g, causal, scale, block_q=None, block_kv=None):
     if has_bias:
         Bb, Hb = bias.shape[0], bias.shape[1]
         kv_specs.append(pl.BlockSpec(
-            (nb_kv if Bb > 1 else 1, 1, Sq_p, block_kv),
+            (nb_kv if Bb > 1 else 1, 1, Sq_p, bkv_kv),
             lambda h, i, bb, _Bb=Bb, _Hb=Hb: (bb if _Bb > 1 else 0,
                                               h if _Hb > 1 else 0, 0, i)))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, has_krow, has_bias, causal, block_q,
-                          block_kv, Sq_p, Skv, Skv_p),
-        grid=(H, Skv_p // block_kv, B // nb_kv),
+                          bkv_kv, Sq_p, Skv, Skv_p),
+        grid=(H, Skv_p // bkv_kv, B // nb_kv),
         in_specs=kv_specs,
         out_specs=(kblk, kblk),
         out_shape=(jax.ShapeDtypeStruct((B, H, Skv_p, D), k.dtype),
