@@ -80,6 +80,8 @@ def aggregate_trace(log_dir: str, n_steps: int):
     # device-lane complete events carry args with tf_op/source metadata
     by_src = collections.Counter()
     by_name = collections.Counter()
+    flops_src = collections.Counter()
+    mm = {}  # matmul-ish events: (name, shape) -> [dur_us, flops]
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X":
@@ -88,23 +90,45 @@ def aggregate_trace(log_dir: str, n_steps: int):
         # keep only TPU op events (they carry hlo/source metadata)
         if not any(k in args for k in ("source", "tf_op", "hlo_op")):
             continue
+        name = ev.get("name", "?")
+        # the scan's outer `while` event contains every inner op event —
+        # counting it would double the total and mask the real breakdown
+        if name.split(".")[0] == "while":
+            continue
         dur = float(ev.get("dur", 0.0))  # µs
         total += dur
         src = args.get("source") or args.get("tf_op") or ev.get("name", "?")
         by_src[src] += dur
-        name = ev.get("name", "?")
         # collapse fusion instance suffixes: fusion.123 → fusion
         base = name.split(".")[0]
         by_name[base] += dur
+        try:
+            fl = float(args.get("model_flops", 0) or 0)
+        except (TypeError, ValueError):
+            fl = 0.0
+        if fl:
+            flops_src[src] += fl
+            shape = args.get("shape_with_layout", "")
+            key = (name.split(".")[0], shape, src)
+            ent = mm.setdefault(key, [0.0, 0.0])
+            ent[0] += dur
+            ent[1] += fl
     per_step = total / max(n_steps, 1)
     print(f"\ntotal attributed device time: {total/1000:.2f} ms "
           f"({per_step/1000:.2f} ms/step over {n_steps} steps)")
-    print("\n-- by source line (top 30, ms/step) --")
+    print("\n-- by source line (top 30, ms/step | TF/s where FLOPs known) --")
     for src, dur in by_src.most_common(30):
-        print(f"{dur/1000/n_steps:8.3f}  {src}")
+        tfs = flops_src.get(src, 0.0) / dur / 1e6 if dur else 0.0
+        eff = f"{tfs:7.1f}" if tfs else "      -"
+        print(f"{dur/1000/n_steps:8.3f}  {eff}  {src}")
     print("\n-- by op category (ms/step) --")
     for name, dur in by_name.most_common(20):
         print(f"{dur/1000/n_steps:8.3f}  {name}")
+    print("\n-- top matmul/conv events by time (ms/step | TF/s | shape | src) --")
+    ranked = sorted(mm.items(), key=lambda kv: -kv[1][0])[:25]
+    for (name, shape, src), (dur, fl) in ranked:
+        tfs = fl / dur / 1e6 if dur else 0.0
+        print(f"{dur/1000/n_steps:8.3f}  {tfs:7.1f}  {shape[:70]:70s} {src}")
 
 
 def main():
