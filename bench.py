@@ -92,12 +92,13 @@ def bench_pretrain_step(size: str = "base"):
     )
 
     if size == "large":
-        # remat keeps the 593M model's activations inside 16 GB HBM with
-        # the fp32 Adam state resident
+        # No remat: the 593M model's activations at b16/224px fit inside
+        # 16 GB HBM with the fp32 Adam state resident, and the backward's
+        # forward-recompute is pure overhead. Measured same-day A/B on v5e
+        # (5-step donated scan): full remat 164.8 ms, remat_policy="dots"
+        # 148.6 ms, no remat 136.5 ms. Memory-constrained configs (768px)
+        # should set `remat: true, remat_policy: dots` in YAML instead.
         cfg = XVLMConfig.large(image_res=224)
-        cfg = dataclasses.replace(
-            cfg, vision=dataclasses.replace(cfg.vision, remat=True),
-            text=dataclasses.replace(cfg.text, remat=True))
         B = 16
     else:
         cfg = XVLMConfig.base(image_res=224)

@@ -83,3 +83,16 @@ def test_config_builds_model(path):
         cfg.setdefault("num_labels", 3)
     model, _ = build_model(cfg, task)
     assert model is not None
+
+
+def test_remat_yaml_knob_threads_to_both_towers():
+    """`remat: true` + `remat_policy: dots` reach both encoder configs
+    (gradient checkpointing; replaces HF's gradient_checkpointing flag,
+    reference xbert.py:700)."""
+    cfg = {"image_res": 224, "remat": True, "remat_policy": "dots"}
+    mcfg = xvlm_config_from_yaml(cfg)
+    assert mcfg.vision.remat and mcfg.vision.remat_policy == "dots"
+    assert mcfg.text.remat and mcfg.text.remat_policy == "dots"
+    # default: off
+    mcfg = xvlm_config_from_yaml({"image_res": 224})
+    assert not mcfg.vision.remat and not mcfg.text.remat

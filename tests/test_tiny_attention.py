@@ -21,7 +21,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp
-from x2vlm_tpu.ops.tiny_attention import tiny_block_attention, _xla_reference, _krow
+from x2vlm_tpu.ops.tiny_attention import (
+    tiny_block_attention, _xla_reference, _krow, _hw_random_bits,
+)
 
 rng = np.random.default_rng(3)
 for (B, S, Skv, H, D, with_mask) in [
@@ -74,8 +76,12 @@ k = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
 v = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
 key = jax.random.PRNGKey(0)
 scale = D ** -0.5
-keep = jax.random.bernoulli(key, 0.9, (B, S, H * S))
-dmask = keep.astype(jnp.bfloat16) / jnp.bfloat16(0.9)
+# replicate the production mask (hardware-RNG bits, see tiny_block_attention)
+bits = _hw_random_bits(key, (B, S, H * S))
+threshold = jnp.uint32(round(0.1 * 4294967296.0))
+dmask = jnp.where(bits >= threshold, jnp.bfloat16(1.0 / 0.9), jnp.bfloat16(0.0))
+drop_frac = 1.0 - float(jnp.mean((bits >= threshold).astype(jnp.float32)))
+assert abs(drop_frac - 0.1) < 0.02, f"drop fraction {drop_frac} far from rate"
 
 out = tiny_block_attention(q, k, v, num_heads=H, dropout_rate=0.1,
                            dropout_rng=key, deterministic=False)

@@ -16,14 +16,15 @@ from x2vlm_tpu.train import (
 )
 
 
-def tiny_cfg(remat=False, plus=False):
+def tiny_cfg(remat=False, plus=False, remat_policy=None):
     vision = BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
                          num_heads=2, drop_path_rate=0.0, dropout_rate=0.0,
-                         remat=remat)
+                         remat=remat, remat_policy=remat_policy)
     text = BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
                       fusion_layer=4 if plus else 2, num_heads=2,
                       intermediate_size=64, encoder_width=32,
-                      hidden_dropout=0.0, attn_dropout=0.0, remat=remat)
+                      hidden_dropout=0.0, attn_dropout=0.0, remat=remat,
+                      remat_policy=remat_policy)
     if plus:
         return XVLMPlusConfig(vision=vision, text=text, embed_dim=16,
                               num_cross_layers=2)
@@ -54,10 +55,14 @@ def test_grad_accumulation_runs_and_matches_step_count(rng):
 
 
 def test_remat_matches_no_remat_loss(rng):
+    """Remat (full and dots-saveable policy) must not change loss or grads —
+    it only changes what is saved for the backward."""
     batch = _batch(rng, bs=4)
     losses = {}
-    for remat in (False, True):
-        model = XVLMForRetrieval(tiny_cfg(remat=remat), dtype=jnp.float32)
+    grads = {}
+    for remat, policy in ((False, None), (True, None), (True, "dots")):
+        model = XVLMForRetrieval(
+            tiny_cfg(remat=remat, remat_policy=policy), dtype=jnp.float32)
         variables = jax.jit(lambda k: model.init(
             {"params": k, "dropout": jax.random.PRNGKey(1)},
             batch, rng=jax.random.PRNGKey(2)))(jax.random.PRNGKey(0))
@@ -72,12 +77,29 @@ def test_remat_matches_no_remat_loss(rng):
             return f(p), jax.grad(f)(p)
 
         loss, g = loss_and_grad(variables["params"])
-        losses[remat] = float(loss)
+        losses[(remat, policy)] = float(loss)
+        grads[(remat, policy)] = g
         # gradient flows through remat
         gn = float(jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
         assert np.isfinite(gn) and gn > 0
-    assert losses[False] == pytest.approx(losses[True], rel=1e-5)
+    base = losses[(False, None)]
+    assert base == pytest.approx(losses[(True, None)], rel=1e-5)
+    assert base == pytest.approx(losses[(True, "dots")], rel=1e-5)
+    for variant in ((True, None), (True, "dots")):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            grads[(False, None)], grads[variant])
+
+
+def test_checkpoint_policy_names():
+    from x2vlm_tpu.ops.layers import checkpoint_policy
+    assert checkpoint_policy(None) is None
+    assert checkpoint_policy("full") is None
+    assert checkpoint_policy("dots") is not None
+    assert checkpoint_policy("dots_saveable") is not None
+    with pytest.raises(ValueError, match="remat_policy"):
+        checkpoint_policy("typo")
 
 
 def test_plus_base_heads(rng):

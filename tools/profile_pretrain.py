@@ -26,7 +26,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(size: str):
+def build_step(size: str, remat: str = "none"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,14 +38,21 @@ def build_step(size: str):
     )
 
     if size == "large":
+        # matches bench.py's pretrain_large config (no remat — see the A/B
+        # note there); pass --remat full|dots to profile a remat variant
         cfg = XVLMConfig.large(image_res=224)
-        cfg = dataclasses.replace(
-            cfg, vision=dataclasses.replace(cfg.vision, remat=True),
-            text=dataclasses.replace(cfg.text, remat=True))
         B = 16
     else:
         cfg = XVLMConfig.base(image_res=224)
         B = 32
+    if remat != "none":
+        policy = None if remat == "full" else remat
+        cfg = dataclasses.replace(
+            cfg,
+            vision=dataclasses.replace(cfg.vision, remat=True,
+                                       remat_policy=policy),
+            text=dataclasses.replace(cfg.text, remat=True,
+                                     remat_policy=policy))
     model = XVLMForPretrain(cfg, dtype=jnp.bfloat16)
     seq, n_mask = 40, 12
     rng = np.random.default_rng(0)
@@ -136,6 +143,8 @@ def main():
     ap.add_argument("--size", default="base")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--log_dir", default=None)
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "full", "dots", "dots_saveable"])
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/x2vlm_jax_cache_tpu")
@@ -144,7 +153,7 @@ def main():
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), jax.devices())
-    model, state, step, batch = build_step(args.size)
+    model, state, step, batch = build_step(args.size, args.remat)
 
     STEPS = args.steps
     import functools

@@ -98,6 +98,14 @@ def xvlm_config_from_yaml(config: Dict) -> XVLMConfig:
 
     vision = vision_config_from_yaml(config)
     text = text_config_from_yaml(config, _vw(vision))
+    # gradient checkpointing (replaces the reference's HF-level
+    # gradient_checkpointing flag, xbert.py:700): `remat: true` recomputes
+    # block activations in the backward; `remat_policy: dots` keeps weight-
+    # matmul outputs (near no-remat speed at a fraction of the memory)
+    if config.get("remat", False):
+        policy = config.get("remat_policy")
+        vision = dataclasses.replace(vision, remat=True, remat_policy=policy)
+        text = dataclasses.replace(text, remat=True, remat_policy=policy)
     common = dict(
         vision=vision, text=text,
         embed_dim=config.get("embed_dim", 256),

@@ -31,7 +31,7 @@ import numpy as np
 
 from x2vlm_tpu.ops.layers import (
     ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention, PatchEmbed,
-    gelu_exact,
+    checkpoint_policy, gelu_exact,
 )
 
 __all__ = ["BEiT2Config", "BEiT2", "relative_position_index"]
@@ -52,6 +52,7 @@ class BEiT2Config:
     ln_eps: float = 1e-6
     act: str = "gelu"          # "gelu" (erf; torch parity) | "gelu_fast" (tanh)
     remat: bool = False        # gradient checkpointing per block (jax.checkpoint)
+    remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
     quant_int8: bool = False   # serving: int8 W8A8 projections/FFN (ops/quant.py)
 
     @property
@@ -177,8 +178,10 @@ class BEiT2(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         # rematerialization: recompute block activations in backward (replaces
         # the reference's unused gradient-checkpointing flag, xbert.py:700-724)
-        block_cls = nn.remat(BEiT2Block, static_argnums=(3,)) if cfg.remat \
-            else BEiT2Block
+        block_cls = nn.remat(
+            BEiT2Block, static_argnums=(3,),
+            policy=checkpoint_policy(cfg.remat_policy),
+        ) if cfg.remat else BEiT2Block
 
         # All depth × H bias tables gathered in ONE wide gather (and one
         # scatter-add in backward): 12 per-layer (40k-row, 12-col) gathers ran

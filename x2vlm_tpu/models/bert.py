@@ -35,7 +35,8 @@ from x2vlm_tpu.ops.fused_ce import (
     fused_vocab_ce, fused_vocab_ce_weighted, softmax_ce,
 )
 from x2vlm_tpu.ops.layers import (
-    ACTIVATIONS, FusedLayerNorm, Mlp, MultiHeadAttention, gelu_exact,
+    ACTIVATIONS, FusedLayerNorm, Mlp, MultiHeadAttention, checkpoint_policy,
+    gelu_exact,
 )
 
 __all__ = ["BertConfig", "BertEncoder", "BertMLMHead"]
@@ -58,6 +59,7 @@ class BertConfig:
     position_offset: int = 0       # 2 for RoBERTa/XLM-R
     act: str = "gelu"              # "gelu" (erf; HF parity) | "gelu_fast"
     remat: bool = False            # gradient checkpointing per layer
+    remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
     quant_int8: bool = False       # serving: int8 W8A8 projections/FFN
     embedding_dim: Optional[int] = None  # MLM head bottleneck (CCLM)
     tie_word_embeddings: bool = True     # MLM decoder shares the embedding
@@ -220,7 +222,8 @@ class BertEncoder(nn.Module):
         if cfg.remat:
             # static: causal flag (5) and deterministic (7); cache decode paths
             # do not use remat (no backward during decoding)
-            layer_cls = nn.remat(BertLayer, static_argnums=(6, 8))
+            layer_cls = nn.remat(BertLayer, static_argnums=(6, 8),
+                                 policy=checkpoint_policy(cfg.remat_policy))
         self.layers = [
             layer_cls(cfg, has_cross=(i >= cfg.fusion_layer) or cfg.is_decoder,
                       dtype=self.dtype, name=f"layer_{i}")

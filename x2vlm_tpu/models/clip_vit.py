@@ -11,13 +11,13 @@ intentionally absent — region handling is unified at the composition level
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from x2vlm_tpu.ops.layers import MultiHeadAttention, PatchEmbed
+from x2vlm_tpu.ops.layers import MultiHeadAttention, PatchEmbed, checkpoint_policy
 
 __all__ = ["CLIPViTConfig", "CLIPViT", "quick_gelu"]
 
@@ -36,6 +36,8 @@ class CLIPViTConfig:
     intermediate_size: int = 3072
     attn_dropout_rate: float = 0.0
     ln_eps: float = 1e-5
+    remat: bool = False        # gradient checkpointing per block
+    remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
 
     @property
     def num_patches(self) -> int:
@@ -91,9 +93,13 @@ class CLIPViT(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="pre_layernorm")(
                              x.astype(jnp.float32)).astype(self.dtype)
+        block_cls = nn.remat(
+            CLIPBlock, static_argnums=(2,),
+            policy=checkpoint_policy(cfg.remat_policy),
+        ) if cfg.remat else CLIPBlock
         for i in range(cfg.depth):
-            x = CLIPBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
-                x, deterministic=deterministic)
+            x = block_cls(cfg, dtype=self.dtype, name=f"block_{i}")(
+                x, deterministic)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="post_layernorm")(
                              x.astype(jnp.float32))

@@ -15,7 +15,7 @@ constant — no dynamic control flow under jit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.ops.attention import dot_product_attention
-from x2vlm_tpu.ops.layers import Mlp, PatchEmbed, gelu_exact
+from x2vlm_tpu.ops.layers import Mlp, PatchEmbed, checkpoint_policy, gelu_exact
 
 __all__ = ["SwinConfig", "SwinTransformer"]
 
@@ -40,6 +40,8 @@ class SwinConfig:
     drop_path_rate: float = 0.1
     ln_eps: float = 1e-5
     add_cls: bool = True
+    remat: bool = False        # gradient checkpointing per block
+    remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
 
     @property
     def num_layers(self):
@@ -212,11 +214,16 @@ class SwinTransformer(nn.Module):
                          param_dtype=jnp.float32, name="patch_norm")(
                              x.astype(jnp.float32)).astype(self.dtype)
 
+        # static: H, W (shape-deriving ints) and deterministic
+        block_cls = nn.remat(
+            SwinBlock, static_argnums=(2, 3, 4),
+            policy=checkpoint_policy(cfg.remat_policy),
+        ) if cfg.remat else SwinBlock
         for si, depth in enumerate(cfg.depths):
             dim = int(cfg.embed_dim * 2 ** si)
             for bi in range(depth):
                 shift = 0 if bi % 2 == 0 else cfg.window_size // 2
-                x = SwinBlock(dim, cfg.num_heads[si], cfg.window_size, shift,
+                x = block_cls(dim, cfg.num_heads[si], cfg.window_size, shift,
                               cfg.mlp_ratio, cfg.ln_eps, dtype=self.dtype,
                               name=f"stage_{si}_block_{bi}")(
                                   x, H, W, deterministic)

@@ -20,7 +20,7 @@ Contract parity with reference vit.py:177-220:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,6 +28,7 @@ import numpy as np
 
 from x2vlm_tpu.ops.layers import (
     ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention, PatchEmbed,
+    checkpoint_policy,
 )
 
 __all__ = ["ViTConfig", "ViT"]
@@ -47,6 +48,7 @@ class ViTConfig:
     ln_eps: float = 1e-6
     act: str = "gelu"
     remat: bool = False
+    remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
 
     @property
     def num_patches(self) -> int:
@@ -117,8 +119,10 @@ class ViT(nn.Module):
             x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
 
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
-        block_cls = nn.remat(ViTBlock, static_argnums=(2,)) if cfg.remat \
-            else ViTBlock
+        block_cls = nn.remat(
+            ViTBlock, static_argnums=(2,),
+            policy=checkpoint_policy(cfg.remat_policy),
+        ) if cfg.remat else ViTBlock
         for i in range(cfg.depth):
             x = block_cls(cfg, drop_path=float(dpr[i]), dtype=self.dtype,
                           name=f"block_{i}")(x, deterministic)

@@ -239,6 +239,16 @@ class XVLMBase(nn.Module):
                          deterministic: bool = True,
                          encoder_gather_idx=None):
         assert text_atts is not None
+        # Pad the KV stream to %8 ONCE here instead of per fusion layer: the
+        # attention kernels need 8-aligned KV (Mosaic sublane tiling), and
+        # padding the 197-token image stream inside every layer's K/V wrapper
+        # cost ~1.4 ms/step of pure HBM copies at the base pretrain shapes
+        # (profiled). Padded rows carry attention-mask zeros; the fusion
+        # output is query-side only, so they never reach any consumer.
+        pad = 0 if image_embeds is None else (-image_embeds.shape[1]) % 8
+        if pad:
+            image_embeds = jnp.pad(image_embeds, ((0, 0), (0, pad), (0, 0)))
+            image_atts = jnp.pad(image_atts, ((0, 0), (0, pad)))
         if text_embeds is not None:
             return self.text_encoder(
                 encoder_embeds=text_embeds, attention_mask=text_atts,

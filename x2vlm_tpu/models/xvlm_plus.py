@@ -58,6 +58,11 @@ class XVLMPlusBase(XVLMBase):
                          deterministic: bool = True,
                          encoder_gather_idx=None):
         assert text_atts is not None
+        # pad the KV stream to %8 once, as XVLMBase.get_cross_embeds does
+        pad = 0 if image_embeds is None else (-image_embeds.shape[1]) % 8
+        if pad:
+            image_embeds = jnp.pad(image_embeds, ((0, 0), (0, pad), (0, 0)))
+            image_atts = jnp.pad(image_atts, ((0, 0), (0, pad)))
         if text_embeds is None:
             assert text_ids is not None
             text_embeds = self.get_text_embeds(text_ids, text_atts,

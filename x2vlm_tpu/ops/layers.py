@@ -17,9 +17,33 @@ from x2vlm_tpu.ops.attention import dot_product_attention
 
 __all__ = ["LayerNorm", "FusedLayerNorm", "Mlp", "DropPath",
            "MultiHeadAttention", "PatchEmbed", "gelu_exact", "gelu_fast",
-           "ACTIVATIONS"]
+           "ACTIVATIONS", "checkpoint_policy"]
 
 Dtype = Any
+
+
+def checkpoint_policy(name: Optional[str]):
+    """Resolve a config-level remat policy name to a jax.checkpoint policy.
+
+    ``None``/"full" is classic gradient checkpointing (save only block
+    inputs; recompute everything in the backward — min memory, +1 forward
+    of FLOPs). "dots" saves the outputs of weight matmuls (dot_generals
+    with no batch dims) so the backward recomputes only the cheap
+    elementwise/VPU ops — near no-remat speed at a fraction of no-remat's
+    activation memory (A/B numbers in STATUS.md). "dots_saveable"
+    additionally saves batched dots (attention logits).
+    """
+    if name is None or name == "full":
+        return None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_saveable": jax.checkpoint_policies.dots_saveable,
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+    }
+    if name not in policies:
+        raise ValueError(
+            f"unknown remat_policy {name!r}; one of {sorted(policies)} or 'full'")
+    return policies[name]
 
 
 class PatchEmbed(nn.Module):

@@ -254,6 +254,16 @@ def _krow(key_mask):
     return jnp.where(key_mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
 
 
+def _hw_random_bits(rng, shape):
+    """uint32 bits from the hardware RNG: rewrap the (threefry) dropout key's
+    data as an rbg-impl key, whose ``random_bits`` lowers to one XLA
+    RngBitGenerator call instead of a threefry ALU chain."""
+    kd = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+    rbg_key = jax.random.wrap_key_data(
+        jnp.concatenate([kd, kd])[:4], impl="rbg")
+    return jax.random.bits(rbg_key, shape, jnp.uint32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _tiny(qs, k, v, krow, dmask, num_heads):
     out, _ = _tiny_fwd_impl(qs, k, v, krow, dmask, num_heads)
@@ -405,9 +415,17 @@ def tiny_block_attention(
     krow = _krow(key_mask) if key_mask is not None else None
     dmask = None
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(
-            dropout_rng, 1.0 - dropout_rate, (B, Sq_p, num_heads * Skv_p))
-        dmask = (keep.astype(jnp.bfloat16) / (1.0 - dropout_rate))
+        # Generate the keep mask with the hardware RNG (XLA RngBitGenerator
+        # via an rbg-impl key) instead of threefry: threefry computes ~dozens
+        # of ALU ops per uint32 on the VPU, which showed up at ~2 ms/step in
+        # the base pretrain profile for the (B, Sq, H·Skv) cross-attention
+        # masks. Dropout needs no cross-backend determinism, only fwd/bwd
+        # consistency — which operand reuse already guarantees.
+        bits = _hw_random_bits(dropout_rng, (B, Sq_p, num_heads * Skv_p))
+        threshold = jnp.uint32(round(dropout_rate * 4294967296.0))
+        dmask = jnp.where(bits >= threshold,
+                          jnp.bfloat16(1.0 / (1.0 - dropout_rate)),
+                          jnp.bfloat16(0.0))
     if jax.default_backend() != "tpu" and not _INTERPRET:
         out = _xla_reference(qs, kw, vw, krow, dmask, num_heads)
     else:
