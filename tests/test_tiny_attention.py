@@ -34,6 +34,8 @@ for (B, S, Skv, H, D, with_mask) in [
     (4, 40, 197, 4, 32, True),     # fusion cross-attn (padded Skv 197->200)
     (2, 40, 197, 4, 32, False),    # cross, no caller mask (pad-only mask)
     (2, 10, 30, 2, 8, True),       # non-%8 Sq AND Skv (both padded)
+    (2, 40, 197, 16, 64, True),    # large-model fusion cross: H=16 overflows
+                                   # one block-diag scratch -> head-chunked
 ]:
     HD = H * D
     q = jnp.asarray(rng.standard_normal((B, S, HD)).astype(np.float32))
@@ -106,6 +108,21 @@ for name, a, b in zip("qkv", gt, gr):
                                err_msg=f"dropout grad {name}")
 print("TINY_OK")
 """
+
+
+def test_head_chunking():
+    """Wide-head towers split into the largest head groups whose scratch
+    fits VMEM; narrow towers stay single-call."""
+    from x2vlm_tpu.ops.tiny_attention import _pick_head_chunk, tiny_supported
+
+    # base fusion cross (H=12, D=64, Skv=200): one block fits
+    assert _pick_head_chunk(128, 40, 200, 12, 64, True, False) == 12
+    # large fusion cross (H=16, D=64, Skv=200): 16-head scratch = 13.1 MB
+    # > budget -> two 8-head calls
+    assert _pick_head_chunk(64, 40, 200, 16, 64, True, False) == 8
+    assert tiny_supported(64, 40, 197, 16, 64, has_mask=True)
+    # lane-width floor: H*D < 256 is never supported (Mosaic miscompile)
+    assert _pick_head_chunk(8, 40, 40, 2, 64, False, False) == 0
 
 
 def test_tiny_attention_interpret_mode():

@@ -237,17 +237,38 @@ def _pad8(n):
     return -(-n // 8) * 8
 
 
+def _pick_head_chunk(B, Sq, Skv, num_heads, head_dim,
+                     has_mask=False, has_drop=False) -> int:
+    """Largest head-group size hc dividing num_heads whose block-diagonal
+    scratch fits VMEM and whose lane width hc·D stays in Mosaic's
+    measured-correct region (≥ 256, see tiny_supported). The wide-head
+    towers (X2VLM-large fusion: H=16, D=64, Skv≈200) overflow the scratch
+    as one 16-head block — two 8-head kernel calls still beat the XLA
+    batched-matmul path's per-(B·H) dispatch floor. Returns 0 if no chunk
+    works."""
+    for n_chunks in range(1, num_heads + 1):
+        if num_heads % n_chunks:
+            continue
+        hc = num_heads // n_chunks
+        if hc * head_dim < 256:
+            return 0  # smaller chunks only get narrower — stop
+        if _pick_nb(B, hc, Sq, Skv, head_dim, has_mask, has_drop) > 0:
+            return hc
+    return 0
+
+
 def tiny_supported(B, Sq, Skv, num_heads, head_dim,
                    has_mask=False, has_drop=False) -> bool:
-    """True when the padded shapes fit the kernel's VMEM budget AND the
+    """True when the padded shapes fit the kernel's VMEM budget (possibly
+    split into per-head-group kernel calls, see _pick_head_chunk) AND the
     lane width is in Mosaic's measured-correct region: an on-chip sweep
     (v5e, 2026-08) showed H·D = 128 (exactly one lane tile) SILENTLY
     miscompiles the backward (grads ~50% off vs fp32 truth) while every
     H·D ≥ 256 case is bf16-exact; real model widths are ≥ 512."""
     if Sq > 64 or num_heads * head_dim < 256:
         return False
-    return _pick_nb(B, num_heads, _pad8(Sq), _pad8(Skv), head_dim,
-                    True if Skv % 8 else has_mask, has_drop) > 0
+    return _pick_head_chunk(B, _pad8(Sq), _pad8(Skv), num_heads, head_dim,
+                            True if Skv % 8 else has_mask, has_drop) > 0
 
 
 def _krow(key_mask):
@@ -413,23 +434,46 @@ def tiny_block_attention(
                            ((0, 0), (0, Skv_p - Skv)))
 
     krow = _krow(key_mask) if key_mask is not None else None
-    dmask = None
-    if dropout_rate > 0.0 and not deterministic:
+    has_drop = dropout_rate > 0.0 and not deterministic
+    threshold = jnp.uint32(round(dropout_rate * 4294967296.0)) if has_drop \
+        else None
+
+    def _dmask(rng, n_heads):
         # Generate the keep mask with the hardware RNG (XLA RngBitGenerator
         # via an rbg-impl key) instead of threefry: threefry computes ~dozens
         # of ALU ops per uint32 on the VPU, which showed up at ~2 ms/step in
         # the base pretrain profile for the (B, Sq, H·Skv) cross-attention
         # masks. Dropout needs no cross-backend determinism, only fwd/bwd
         # consistency — which operand reuse already guarantees.
-        bits = _hw_random_bits(dropout_rng, (B, Sq_p, num_heads * Skv_p))
-        threshold = jnp.uint32(round(dropout_rate * 4294967296.0))
-        dmask = jnp.where(bits >= threshold,
-                          jnp.bfloat16(1.0 / (1.0 - dropout_rate)),
-                          jnp.bfloat16(0.0))
+        bits = _hw_random_bits(rng, (B, Sq_p, n_heads * Skv_p))
+        return jnp.where(bits >= threshold,
+                         jnp.bfloat16(1.0 / (1.0 - dropout_rate)),
+                         jnp.bfloat16(0.0))
+
     if jax.default_backend() != "tpu" and not _INTERPRET:
+        dmask = _dmask(dropout_rng, num_heads) if has_drop else None
         out = _xla_reference(qs, kw, vw, krow, dmask, num_heads)
     else:
-        out = _tiny(qs, kw, vw, krow, dmask, num_heads)
+        # wide-head towers (e.g. H=16, D=64, Skv≈200) can overflow the
+        # kernel's VMEM scratch as one block — split the heads into the
+        # largest groups that fit and run one kernel call per group
+        # (the groups are fully independent: q/k/v columns partition by head)
+        # hc == 0 only when the dispatcher's tiny_supported gate was skipped
+        # (interpret-mode tests at sub-256 lane widths) — single call then
+        hc = _pick_head_chunk(B, Sq_p, Skv_p, num_heads, D,
+                              has_mask=krow is not None,
+                              has_drop=has_drop) or num_heads
+        outs = []
+        for ci in range(num_heads // hc):
+            cols = slice(ci * hc * D, (ci + 1) * hc * D)
+            dm = None
+            if has_drop:
+                rng_c = dropout_rng if ci == 0 \
+                    else jax.random.fold_in(dropout_rng, ci)
+                dm = _dmask(rng_c, hc)
+            outs.append(_tiny(qs[..., cols], kw[..., cols], vw[..., cols],
+                              krow, dm, hc))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     if Sq_p != Sq:
         out = out[:, :Sq]
     return out
