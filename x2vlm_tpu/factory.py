@@ -87,6 +87,20 @@ def text_config_from_yaml(config: Dict, vision_width: int) -> BertConfig:
     else:
         out = BertConfig.bert_base(num_layers=num_layers, fusion_layer=fusion,
                                    encoder_width=vision_width)
+    # changeable hidden dropout (reference xvlm.py:298) and the stochastic-
+    # depth knobs (xvlm.py:299-300; shipped refcoco_grounding_large.yaml sets
+    # 0.1/0.1). Order matters: BertConfig.__post_init__ zeroes hidden_dropout
+    # whenever text_drop_path_rate > 0 (reference xbert.py:637-641).
+    overrides = {}
+    if "dropout" in config:
+        overrides["hidden_dropout"] = float(config["dropout"])
+    if "text_drop_path_rate" in config or "cross_drop_path_rate" in config:
+        overrides["text_drop_path_rate"] = float(
+            config.get("text_drop_path_rate", 0.0))
+        overrides["cross_drop_path_rate"] = float(
+            config.get("cross_drop_path_rate", 0.0))
+    if overrides:
+        out = dataclasses.replace(out, **overrides)
     inline = config.get("text_config_inline")
     if inline:
         out = dataclasses.replace(out, **dict(inline))
@@ -119,6 +133,13 @@ def xvlm_config_from_yaml(config: Dict) -> XVLMConfig:
     )
     if config.get("model_type", "") in ("xvlm_plus", "cclm") or \
             config.get("replace_text_encoder", False):
+        # the reference's Plus stack has no drop-path support and asserts the
+        # knob away (xvlm.py:1012 "notimplemented") — mirror that loudly
+        if config.get("cross_drop_path_rate", 0.0) or \
+                config.get("text_drop_path_rate", 0.0):
+            raise ValueError(
+                "drop-path is not implemented for XVLMPlus/CCLM "
+                "(reference xvlm.py:1012)")
         n_cross = config.get("num_cross_layers", 6)
         return XVLMPlusConfig(num_cross_layers=n_cross, **common)
     return XVLMConfig(**common)

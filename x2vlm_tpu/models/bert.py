@@ -35,11 +35,24 @@ from x2vlm_tpu.ops.fused_ce import (
     fused_vocab_ce, fused_vocab_ce_weighted, softmax_ce,
 )
 from x2vlm_tpu.ops.layers import (
-    ACTIVATIONS, FusedLayerNorm, Mlp, MultiHeadAttention, checkpoint_policy,
-    gelu_exact,
+    ACTIVATIONS, DropPath, FusedLayerNorm, Mlp, MultiHeadAttention,
+    checkpoint_policy, gelu_exact,
 )
 
-__all__ = ["BertConfig", "BertEncoder", "BertMLMHead"]
+__all__ = ["BertConfig", "BertEncoder", "BertMLMHead", "drop_path_schedule"]
+
+
+def drop_path_schedule(cfg: "BertConfig"):
+    """Per-layer stochastic-depth rates: linspace(0, text_rate) over the text
+    layers then linspace(0, cross_rate) over the fusion layers — exactly the
+    reference's dpr_text + dpr_cross (xbert.py:643-648)."""
+    import numpy as np
+
+    n_text = min(cfg.fusion_layer, cfg.num_layers)
+    n_cross = cfg.num_layers - n_text
+    dpr_text = np.linspace(0.0, cfg.text_drop_path_rate, n_text)
+    dpr_cross = np.linspace(0.0, cfg.cross_drop_path_rate, n_cross)
+    return [float(r) for r in list(dpr_text) + list(dpr_cross)]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +79,23 @@ class BertConfig:
                                          # matrix (HF BERT default; the
                                          # reference trains tied)
     is_decoder: bool = False       # causal self-attention (generation stacks)
+    # Stochastic depth (reference xbert.py:633-650): separate linspace
+    # schedules over the text layers [0, fusion_layer) and the fusion/cross
+    # layers [fusion_layer, num_layers); the per-layer rate drop-paths the
+    # self-attn, cross-attn, and FFN residual branches (xbert.py:425-430,
+    # 509-514). Shipped refcoco_grounding_large.yaml trains with 0.1/0.1.
+    text_drop_path_rate: float = 0.0
+    cross_drop_path_rate: float = 0.0
+
+    def __post_init__(self):
+        if self.text_drop_path_rate > 0:
+            # reference xbert.py:637-641: text drop-path requires cross
+            # drop-path and replaces hidden dropout entirely ("fixed").
+            if not self.cross_drop_path_rate > 0:
+                raise ValueError(
+                    "text_drop_path_rate > 0 requires cross_drop_path_rate > 0 "
+                    "(reference xbert.py:638)")
+            object.__setattr__(self, "hidden_dropout", 0.0)
 
     @classmethod
     def bert_base(cls, num_layers=18, fusion_layer=12, encoder_width=768, **kw):
@@ -136,6 +166,7 @@ class BertLayer(nn.Module):
 
     config: BertConfig
     has_cross: bool
+    drop_path: float = 0.0         # per-layer stochastic-depth rate
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -178,6 +209,10 @@ class BertLayer(nn.Module):
         else:
             h = attn(x, key_mask=attention_mask, causal=causal,
                      deterministic=deterministic)
+        # stochastic depth on each residual branch: LN(drop_path(h) + x)
+        # (reference xbert.py:425-430 / 509-514)
+        dp = lambda name: DropPath(self.drop_path, name=name)
+        h = dp("attn_dp")(h, deterministic)
         x = ln("attn_ln")((x + h).astype(self.dtype))
 
         # Cross-attention is *skipped* (not errored) when no image stream is
@@ -195,12 +230,14 @@ class BertLayer(nn.Module):
             )(x, kv=encoder_hidden_states.astype(self.dtype),
               key_mask=encoder_attention_mask,
               kv_gather_idx=encoder_gather_idx, deterministic=deterministic)
+            h = dp("cross_dp")(h, deterministic)
             x = ln("cross_ln")((x + h).astype(self.dtype))
 
         h = Mlp(hidden_dim=cfg.intermediate_size, act=ACTIVATIONS[cfg.act],
                 dropout_rate=cfg.hidden_dropout, dtype=self.dtype,
                 quant=cfg.quant_int8, name="mlp")(
                     x, deterministic=deterministic)
+        h = dp("mlp_dp")(h, deterministic)
         x = ln("mlp_ln")((x + h).astype(self.dtype))
         if new_cache is not None:
             return x, new_cache
@@ -224,9 +261,10 @@ class BertEncoder(nn.Module):
             # do not use remat (no backward during decoding)
             layer_cls = nn.remat(BertLayer, static_argnums=(6, 8),
                                  policy=checkpoint_policy(cfg.remat_policy))
+        dpr = drop_path_schedule(cfg)
         self.layers = [
             layer_cls(cfg, has_cross=(i >= cfg.fusion_layer) or cfg.is_decoder,
-                      dtype=self.dtype, name=f"layer_{i}")
+                      drop_path=dpr[i], dtype=self.dtype, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.models.bert import BertEncoder, BertMLMHead
-from x2vlm_tpu.models.generation import label_smoothing_loss
 from x2vlm_tpu.models.xvlm import XVLMBase, XVLMConfig, make_base
 
 __all__ = ["XVLMForMLMCaptioning", "beam_search_generate",

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.ops.attention import dot_product_attention
-from x2vlm_tpu.ops.layers import Mlp, PatchEmbed, checkpoint_policy, gelu_exact
+from x2vlm_tpu.ops.layers import (
+    DropPath, Mlp, PatchEmbed, checkpoint_policy, gelu_exact,
+)
 
 __all__ = ["SwinConfig", "SwinTransformer"]
 
@@ -146,6 +148,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float
     ln_eps: float
+    drop_path: float = 0.0   # stochastic depth (timm linspace over all blocks)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -170,11 +173,13 @@ class SwinBlock(nn.Module):
         h = _window_merge(wins, window, H, W)
         if shift > 0:
             h = jnp.roll(h, (shift, shift), axis=(1, 2))
-        x = x + h.reshape(B, L, C)
+        h = DropPath(self.drop_path, name="dp1")(
+            h.reshape(B, L, C), deterministic)
+        x = x + h
         h = ln("norm2")(x.astype(jnp.float32)).astype(self.dtype)
         h = Mlp(hidden_dim=int(self.dim * self.mlp_ratio), act=gelu_exact,
                 dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
-        return x + h
+        return x + DropPath(self.drop_path, name="dp2")(h, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -219,14 +224,21 @@ class SwinTransformer(nn.Module):
             SwinBlock, static_argnums=(2, 3, 4),
             policy=checkpoint_policy(cfg.remat_policy),
         ) if cfg.remat else SwinBlock
+        # stochastic-depth schedule: one linspace across ALL blocks (timm
+        # swin_transformer.py dpr, built by the reference at xvlm.py:260 with
+        # drop_path_rate=0.1)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
+        blk = 0
         for si, depth in enumerate(cfg.depths):
             dim = int(cfg.embed_dim * 2 ** si)
             for bi in range(depth):
                 shift = 0 if bi % 2 == 0 else cfg.window_size // 2
                 x = block_cls(dim, cfg.num_heads[si], cfg.window_size, shift,
-                              cfg.mlp_ratio, cfg.ln_eps, dtype=self.dtype,
+                              cfg.mlp_ratio, cfg.ln_eps, float(dpr[blk]),
+                              dtype=self.dtype,
                               name=f"stage_{si}_block_{bi}")(
                                   x, H, W, deterministic)
+                blk += 1
             if si < cfg.num_layers - 1:
                 x = PatchMerging(dim, cfg.ln_eps, dtype=self.dtype,
                                  name=f"merge_{si}")(x, H, W)

@@ -27,6 +27,15 @@ optional label smoothing, which covers every vocab-CE in the model family:
 Everything is static-shape: the chunk boundaries are Python ints, the loop is
 unrolled at trace time (4-6 matmuls), so there is exactly one compilation and
 XLA is free to fuse each chunk's epilogue into its matmul.
+
+Documented deviation — smoothing mass: the smoothed term here spreads the
+smoothing mass s uniformly over all V classes (loss += s * (lse - mean
+logit)), matching this repo's pre-existing label_smoothing_loss. The
+reference's LabelSmoothingLoss (model_generation.py:16-50) instead spreads
+s/(V-2), excluding the ignored/pad index from the smoothing distribution. At
+V = 30522 the per-token difference is O(s/V) ≈ 3e-6 nats — far below the
+±0.3-pt parity gate — but exact torch caption-loss equality would need the
+V-2 form.
 """
 from __future__ import annotations
 

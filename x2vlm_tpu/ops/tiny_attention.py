@@ -278,10 +278,14 @@ def _krow(key_mask):
 def _hw_random_bits(rng, shape):
     """uint32 bits from the hardware RNG: rewrap the (threefry) dropout key's
     data as an rbg-impl key, whose ``random_bits`` lowers to one XLA
-    RngBitGenerator call instead of a threefry ALU chain."""
+    RngBitGenerator call instead of a threefry ALU chain. The two extra key
+    words are derived by fold_in (not duplicated), so all 128 rbg key bits
+    carry independent entropy."""
     kd = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+    kd2 = jax.random.key_data(
+        jax.random.fold_in(rng, 0x5eed)).reshape(-1).astype(jnp.uint32)
     rbg_key = jax.random.wrap_key_data(
-        jnp.concatenate([kd, kd])[:4], impl="rbg")
+        jnp.concatenate([kd, kd2])[:4], impl="rbg")
     return jax.random.bits(rbg_key, shape, jnp.uint32)
 
 
