@@ -85,6 +85,93 @@ def test_config_builds_model(path):
     assert model is not None
 
 
+VISION_JSONS = sorted(glob.glob(os.path.join(REPO, "configs/*.json")))
+
+
+@pytest.mark.parametrize(
+    "path", PRETRAIN + FINETUNE,
+    ids=[os.path.basename(p) for p in PRETRAIN + FINETUNE])
+def test_config_audit_every_key_registered(path):
+    """The silent-knob guard (VERDICT r3/r4 recurring class): every key in
+    every shipped YAML must have a registered consumer; unknown keys raise."""
+    from x2vlm_tpu.core.config_schema import validate_config
+
+    validate_config(load_config(path), source=path)
+
+
+@pytest.mark.parametrize("path", VISION_JSONS,
+                         ids=[os.path.basename(p) for p in VISION_JSONS])
+def test_vision_json_audit(path):
+    from x2vlm_tpu.core.config import read_json
+    from x2vlm_tpu.core.config_schema import unknown_vision_json_keys
+
+    assert unknown_vision_json_keys(read_json(path)) == []
+
+
+def test_config_audit_rejects_unknown_keys():
+    from x2vlm_tpu.core.config_schema import validate_config
+
+    with pytest.raises(ValueError, match="nothing in this framework reads"):
+        validate_config({"image_res": 224, "text_drop_path_rte": 0.1})
+    with pytest.raises(ValueError, match="images.mask_probb"):
+        validate_config({"image_res": 224, "images": {"mask_probb": 0.5}})
+    with pytest.raises(ValueError, match="bogus_field"):
+        validate_config({"text_config_inline": {"bogus_field": 1}})
+    # '_'-prefixed keys are comment escapes
+    validate_config({"image_res": 224, "_note": "why this config exists",
+                     "images": {"_todo": 1, "batch_size": 4}})
+
+
+def test_config_audit_launcher_enforces(tmp_path):
+    """run.setup refuses a config with an unconsumed key."""
+    import yaml as _yaml
+
+    from x2vlm_tpu.run import parse_args, setup
+
+    p = tmp_path / "bad.yaml"
+    p.write_text(_yaml.safe_dump({"image_res": 224, "use_beit_v3": True}))
+    args = parse_args(["--task", "retrieval", "--config", str(p),
+                       "--output_dir", str(tmp_path / "out")])
+    with pytest.raises(ValueError, match="use_beit_v3"):
+        setup(args)
+
+
+def test_registry_keys_are_actually_read_by_the_source():
+    """Anti-rot meta-audit: every registered key must appear as a string
+    literal somewhere in the package source (so the registry can't drift into
+    blessing keys nothing reads). 'parity:' entries — knobs the reference
+    itself reads-and-ignores — are exempt."""
+    import re
+
+    from x2vlm_tpu.core import config_schema as cs
+
+    src = ""
+    for root, _, files in os.walk(os.path.join(REPO, "x2vlm_tpu")):
+        for fn in files:
+            if fn.endswith(".py"):
+                with open(os.path.join(root, fn)) as f:
+                    src += f.read()
+
+    def check(registry, scope):
+        missing = []
+        for key, consumer in registry.items():
+            if consumer.startswith("parity:"):
+                continue
+            if not re.search(r"['\"]" + re.escape(key) + r"['\"]", src):
+                missing.append(f"{scope}.{key} (claimed: {consumer})")
+        return missing
+
+    missing = check(cs.TOP_LEVEL, "top")
+    missing += check(cs.VISION_JSON, "vision_json")
+    seen = set()
+    for block, reg in cs.BLOCKS.items():
+        if id(reg) in seen:
+            continue
+        seen.add(id(reg))
+        missing += check(reg, block)
+    assert not missing, f"registered but never read: {missing}"
+
+
 def test_remat_yaml_knob_threads_to_both_towers():
     """`remat: true` + `remat_policy: dots` reach both encoder configs
     (gradient checkpointing; replaces HF's gradient_checkpointing flag,

@@ -181,3 +181,63 @@ def test_grounding_eval_mask():
     assert grounding_eval_mask(good, refs)["val_acc"] == 100.0
     assert grounding_eval_mask(bad, refs)["val_acc"] == 0.0
     assert mask_iou(gt, gt) == 1.0
+
+
+def test_grounding_eval_bbox_vlue_hand_computed(tmp_path):
+    """2-sample fixture (reference dataset/utils.py:403-437): sample 0's pred
+    overlaps the gt exactly (IoU 1.0 >= 0.5), sample 1 is disjoint."""
+    import json
+
+    from x2vlm_tpu.evalkit import grounding_eval_bbox_vlue
+
+    anns = [{"ref_id": 1, "bbox": [10, 10, 20, 20], "width": 100,
+             "height": 100},
+            {"ref_id": 2, "bbox": [0, 0, 10, 10], "width": 100,
+             "height": 100}]
+    p = tmp_path / "vlue_test.json"
+    p.write_text(json.dumps(anns))
+    # preds are normalized cxcywh: ref 1 → exactly the gt box; ref 2 → far
+    results = [{"ref_id": 1, "pred": [0.20, 0.20, 0.20, 0.20]},
+               {"ref_id": 2, "pred": [0.80, 0.80, 0.10, 0.10]}]
+    out = grounding_eval_bbox_vlue(results, str(p))
+    assert out == {"score": 0.5}
+
+
+def test_vlue_bicubic_matches_torch():
+    """_resize_bicubic must reproduce torch F.interpolate(mode='bicubic',
+    align_corners=False), which the reference uses (utils.py:336)."""
+    import torch
+    import torch.nn.functional as F
+
+    from x2vlm_tpu.evalkit.grounding import _resize_bicubic
+
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((24, 24))
+    got = _resize_bicubic(m, 37, 53)
+    want = F.interpolate(torch.tensor(m).view(1, 1, 24, 24), size=(37, 53),
+                         mode="bicubic").squeeze().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_grounding_eval_vlue_mask_scoring(tmp_path):
+    """Mask variant (reference dataset/utils.py:318-360): the detection box
+    with the highest sum(mask)/area**alpha wins; IoU(ref, winner) >= 0.5
+    counts. A mask concentrated inside det A must pick A over the bigger B."""
+    import json
+
+    from x2vlm_tpu.evalkit import grounding_eval_vlue
+
+    anns = [{"ref_id": 7, "bbox": [0, 0, 24, 24], "width": 48, "height": 48,
+             "dets": [[0, 0, 24, 24], [0, 0, 48, 48]]},
+            {"ref_id": 8, "bbox": [24, 24, 24, 24], "width": 48, "height": 48,
+             "dets": [[0, 0, 24, 24], [0, 0, 48, 48]]}]
+    p = tmp_path / "vlue_test.json"
+    p.write_text(json.dumps(anns))
+    # mask: all the mass in the top-left quadrant (of the 24×24 grid)
+    mask = np.zeros((24, 24))
+    mask[:12, :12] = 1.0
+    results = [{"ref_id": 7, "pred": mask}, {"ref_id": 8, "pred": mask}]
+    # alpha=1: top-left det scores ~sum/576, full-image ~sum/2304 → top-left
+    # wins both; it matches ref 7 (IoU 1.0) and misses ref 8 (IoU 0)
+    out = grounding_eval_vlue(results, str(p), alpha=1.0, mask_size=24)
+    assert out == {"score": 0.5}

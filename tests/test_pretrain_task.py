@@ -192,3 +192,93 @@ def test_pretrain_loop_mixed_streams(corpus):
                           rng_key=jax.random.PRNGKey(5), shard_fn=shard,
                           log_every=1)
     assert int(state.step) == 3
+
+
+def _tiny_pretrain_model():
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2, drop_path_rate=0.0, dropout_rate=0.0),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32, hidden_dropout=0.0, attn_dropout=0.0),
+        embed_dim=16)
+    model = XVLMForPretrain(cfg, dtype=jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pretrain_init_inputs(cfg), rng=jax.random.PRNGKey(2),
+        ret_bbox_loss=True)
+    tx = create_optimizer(variables["params"], lr_schedule(1e-3, 10))
+    return model, tx, create_train_state(variables, tx)
+
+
+def test_calc_image_bbox_loss_includes_full_image_rows(corpus):
+    """calc_image_bbox_loss: true keeps full-image region rows in the bbox
+    loss (reference Pretrain.py:87-88 is_image=None) — the region bbox metric
+    must differ from the default run on the same data/rng."""
+    d, tok = corpus
+    pre = TextPreprocessor(tok, max_tokens=10, max_masks=3, rng=random.Random(0))
+
+    def region_batches():
+        reader = DistLineReader([str(d / "regions.jsonl")], shuffle=False,
+                                repeat=True)
+        stream = RegionTextStream(
+            reader, pre, T.box_transform(rng=random.Random(0)), image_res=32,
+            patch_size=16, max_regions=3, min_perc_in_image=0.3,
+            rng=random.Random(0))
+        it = iter(stream)
+        while True:
+            yield region_collate([next(it), next(it)], batch_size=4,
+                                 max_images=2, rng=random.Random(1))
+
+    def image_batches():
+        while True:
+            reader = DistLineReader([str(d / "images.jsonl")], shuffle=False,
+                                    repeat=True)
+            stream = ImageTextStream(reader, pre, T.test_transform(32))
+            yield from iter_batches(iter(stream), 4)
+
+    def shard(b):
+        return jax.tree_util.tree_map(jnp.asarray, b)
+
+    logs = {}
+    for flag in (False, True):
+        model, tx, state = _tiny_pretrain_model()
+        streams = PretrainStreams(image=image_batches(),
+                                  region=region_batches(),
+                                  rng=random.Random(0))
+        from x2vlm_tpu.train.metrics import MetricLogger
+
+        logger = MetricLogger()
+        pretrain_loop(model, state, tx, streams, num_steps=1,
+                      rng_key=jax.random.PRNGKey(5), shard_fn=shard,
+                      calc_image_bbox_loss=flag, log_every=10, logger=logger)
+        logs[flag] = logger.meters["region_loss_bbox"].global_avg
+    # a region_collate with max_images=2 over 2-sample batches pads rows with
+    # is_image=1 full-image rows; including them must change the bbox loss
+    assert logs[True] != logs[False]
+
+
+def test_pretrain_epoch_save_cadence(corpus):
+    """ckpt_frequent: save at every Nth epoch boundary AND the final step
+    (reference Pretrain.py:377), on top of the step cadence."""
+    d, tok = corpus
+    pre = TextPreprocessor(tok, max_tokens=10, max_masks=3, rng=random.Random(0))
+
+    def image_batches():
+        while True:
+            reader = DistLineReader([str(d / "images.jsonl")], shuffle=False,
+                                    repeat=True)
+            stream = ImageTextStream(reader, pre, T.test_transform(32))
+            yield from iter_batches(iter(stream), 4)
+
+    model, tx, state = _tiny_pretrain_model()
+    streams = PretrainStreams(image=image_batches(), rng=random.Random(0))
+    saved = []
+    pretrain_loop(model, state, tx, streams, num_steps=6,
+                  rng_key=jax.random.PRNGKey(5),
+                  shard_fn=lambda b: jax.tree_util.tree_map(jnp.asarray, b),
+                  checkpoint_fn=lambda st, step: saved.append(step),
+                  checkpoint_every=0, epoch_steps=2, epoch_save_frequent=2,
+                  log_every=10)
+    # epochs end at steps 2,4,6; every-2nd epoch → steps 4 and 6 (6 = final)
+    assert saved == [4, 6]

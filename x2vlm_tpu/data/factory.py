@@ -65,6 +65,10 @@ def create_dataset(task: str, config, evaluate: bool = False,
         from x2vlm_tpu.data.finetune import VQAEvalDataset, VQATrainDataset
 
         root = config.get("vqa_root", config.get("image_root"))
+        if config.get("vg_root"):
+            # Visual-Genome rows carry dataset: "vg" and resolve against
+            # vg_root (reference vqa_dataset.py:19,  dataset/__init__.py:239)
+            root = {"vqa": root, "vg": config["vg_root"]}
         a_max = config.get("answer_max_tokens", 10)
 
         def build_eval(f):

@@ -25,7 +25,8 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 Image.MAX_IMAGE_PIXELS = None  # hardening (reference pretrain_dataset.py:28-29)
 
 __all__ = ["ImageTextStream", "TextStream", "RegionTextStream",
-           "VideoTextStream", "region_collate", "sample_frame_ids"]
+           "VideoTextStream", "region_collate", "sample_frame_ids",
+           "sample_clip_ids"]
 
 
 def _open_image(ann: dict, image_key: str, is_rpath: bool) -> Image.Image:
@@ -116,14 +117,54 @@ def sample_frame_ids(n_frames: int, frame_len: int, training: bool,
     return ids
 
 
+def sample_clip_ids(clips, minimum_frames: int, clip_captions=None,
+                    skip_caption_set=None, rng=None):
+    """Pick a contiguous run of clips around a random anchor until the frame
+    count reaches ``minimum_frames`` (reference dataset/utils.py:19-63);
+    skip-set clips contribute no frames and are dropped from the result."""
+    rng = rng or random
+    skip_caption_set = skip_caption_set or set()
+    caps = [c.strip() for c in clip_captions] if clip_captions else None
+
+    def count(ids):
+        return sum(len(clips[i]) for i in ids
+                   if caps is None or caps[i] not in skip_caption_set)
+
+    mid = rng.randrange(len(clips))
+    ids, left, right = [mid], mid, mid
+    while count(ids) < minimum_frames and len(ids) < len(clips):
+        if left - 1 < 0:
+            right += 1
+            ids.append(right)
+        elif right + 1 >= len(clips):
+            left -= 1
+            ids.append(left)
+        elif rng.random() < 0.5:
+            right += 1
+            ids.append(right)
+        else:
+            left -= 1
+            ids.append(left)
+    ids = sorted(ids)
+    if caps is not None:
+        ids = [i for i in ids if caps[i] not in skip_caption_set]
+    return ids
+
+
 class VideoTextStream(_StreamBase):
     """Frame-list videos → (frame_len, H, W, 3) samples (reference
-    FrameTextDataset:290-424)."""
+    FrameTextDataset:290-424). Clip-structured annotations (frames = list of
+    clips, each a frame list, with per-clip captions) either sample one clip
+    or — with ``combine_continuous_clips`` on ``is_continuous`` rows — merge
+    neighbouring clips until ``minimum_frames_before_sampling`` frames and
+    join their captions (reference get_clips/get_caption:321-369)."""
 
     def __init__(self, reader, text_pre, transform, frame_len: int = 3,
                  frames_key: str = "frames", caption_key: str = "caption",
                  is_image_rpath: bool = False, training: bool = True,
-                 skip_captions: Sequence[str] = ("[Music]",), rng=None):
+                 skip_captions: Sequence[str] = ("[Music]",),
+                 combine_continuous_clips: bool = False,
+                 minimum_frames_before_sampling: int = -1, rng=None):
         super().__init__(reader, text_pre, rng)
         self.transform = transform
         self.frame_len = frame_len
@@ -132,14 +173,43 @@ class VideoTextStream(_StreamBase):
         self.is_image_rpath = is_image_rpath
         self.training = training
         self.skip_captions = set(skip_captions)
+        self.combine_continuous_clips = combine_continuous_clips
+        self.minimum_frames_before_sampling = minimum_frames_before_sampling
+        if combine_continuous_clips:
+            assert minimum_frames_before_sampling > 0, \
+                "combine_continuous_clips needs minimum_frames_before_sampling"
+
+    def _get_clips(self, clips, captions, is_continuous):
+        """→ (frames, clip_ids) — reference get_clips (pretrain_dataset.py:
+        321-345)."""
+        if len(clips) == 1:
+            return clips[0], [0]
+        if is_continuous and self.combine_continuous_clips:
+            ids = sample_clip_ids(
+                clips, self.minimum_frames_before_sampling,
+                clip_captions=captions, skip_caption_set=self.skip_captions,
+                rng=self.rng)
+            return [f for i in ids for f in clips[i]], ids
+        i = self.rng.randrange(len(clips))
+        while captions[i] in self.skip_captions:   # HowTo100M music rows
+            i = self.rng.randrange(len(clips))
+        return clips[i], [i]
 
     def __iter__(self):
         for ann in self.reader.iter_json():
             try:
-                caption = _choose_caption(ann[self.caption_key], self.rng)
-                if caption in self.skip_captions:
-                    continue
                 frames = ann[self.frames_key]
+                raw_cap = ann[self.caption_key]
+                if frames and isinstance(frames[0], list):
+                    # clip-of-clips rows (stage-2 video pretraining)
+                    frames, clip_ids = self._get_clips(
+                        frames, raw_cap, ann.get("is_continuous", False))
+                    caption = " ".join(raw_cap[i] for i in clip_ids) \
+                        if isinstance(raw_cap, list) else raw_cap
+                else:
+                    caption = _choose_caption(raw_cap, self.rng)
+                if not caption or caption in self.skip_captions:
+                    continue
                 ids = sample_frame_ids(len(frames), self.frame_len,
                                        self.training, self.rng)
                 imgs = []

@@ -25,7 +25,8 @@ from x2vlm_tpu.models.xvlm import XVLMConfig
 from x2vlm_tpu.models.xvlm_plus import XVLMPlusConfig
 
 __all__ = ["vision_config_from_yaml", "text_config_from_yaml",
-           "xvlm_config_from_yaml", "build_model", "expand_text_layers"]
+           "xvlm_config_from_yaml", "model_dtype", "build_model",
+           "expand_text_layers"]
 
 
 def vision_config_from_yaml(config: Dict) -> Any:
@@ -34,7 +35,22 @@ def vision_config_from_yaml(config: Dict) -> Any:
     vc = read_json(vc_path) if vc_path and os.path.exists(vc_path) else Config(
         config.get("vision_config_inline", {}))
 
+    # the three switches are mutually exclusive; use_beit_v2 is the default
+    # backbone so setting it alongside another switch is a config error
+    # (reference build_vision_encoder branches, xvlm.py:172-283)
+    switches = [k for k in ("use_clip_vit", "use_swin", "use_beit_v2")
+                if config.get(k, False)]
+    if len(switches) > 1:
+        raise ValueError(f"vision switches are mutually exclusive: {switches}")
+
     if config.get("use_clip_vit", False):
+        # local_attn_depth (last-k region-masked attention,
+        # clip_vit.py:252-335) is intentionally absent — config-dead in the
+        # reference (every shipped config sets -1/0); fail loudly if enabled
+        if vc.get("local_attn_depth", 0) > 0:
+            raise ValueError("clip local_attn_depth > 0 is not implemented "
+                             "(config-dead in the reference; see README "
+                             "deviations)")
         return CLIPViTConfig(
             image_res=image_res,
             patch_size=vc.get("patch_size", 16),
@@ -42,6 +58,8 @@ def vision_config_from_yaml(config: Dict) -> Any:
             depth=vc.get("num_hidden_layers", 12),
             num_heads=vc.get("num_attention_heads", 12),
             intermediate_size=vc.get("intermediate_size", 3072),
+            attn_dropout_rate=vc.get("attention_dropout", 0.0),
+            act=vc.get("hidden_act", "quick_gelu"),
         )
     if config.get("use_swin", False):
         out = SwinConfig(
@@ -145,9 +163,24 @@ def xvlm_config_from_yaml(config: Dict) -> XVLMConfig:
     return XVLMConfig(**common)
 
 
-def build_model(config: Dict, task: str, dtype=jnp.bfloat16):
+def model_dtype(config: Dict):
+    """Compute dtype from accelerator.MIXED_PRECISION: bf16 (default) or
+    no/fp32 → float32. The reference's apex fp16 levels map to bf16 here —
+    the TPU MXU's native mixed precision (no loss scaling needed)."""
+    mp = str(config.get("accelerator", {}).get("MIXED_PRECISION",
+                                               "bf16")).lower()
+    if mp in ("no", "fp32", "o0"):
+        return jnp.float32
+    if mp in ("bf16", "fp16", "o1", "o2"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown accelerator.MIXED_PRECISION: {mp!r}")
+
+
+def build_model(config: Dict, task: str, dtype=None):
     """task: pretrain | retrieval | vqa | nlvr | grounding | captioning |
     classification | pretrain_plus."""
+    if dtype is None:
+        dtype = model_dtype(config)
     cfg = xvlm_config_from_yaml(config)
     if task == "pretrain":
         if isinstance(cfg, XVLMPlusConfig):

@@ -26,6 +26,13 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# `hidden_act` values accepted by the vision JSON (HF CLIP ships quick_gelu)
+CLIP_ACTIVATIONS = {
+    "quick_gelu": quick_gelu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPViTConfig:
     image_res: int = 224
@@ -34,7 +41,9 @@ class CLIPViTConfig:
     depth: int = 12
     num_heads: int = 12
     intermediate_size: int = 3072
-    attn_dropout_rate: float = 0.0
+    attn_dropout_rate: float = 0.0  # vision JSON `attention_dropout`
+    act: str = "quick_gelu"         # vision JSON `hidden_act` (ACT2FN lookup,
+                                    # reference clip_vit.py:176-178)
     ln_eps: float = 1e-5
     remat: bool = False        # gradient checkpointing per block
     remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
@@ -66,7 +75,7 @@ class CLIPBlock(nn.Module):
         h = ln("layer_norm2")(x.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(h)
-        h = quick_gelu(h)
+        h = CLIP_ACTIVATIONS[cfg.act](h)
         h = nn.Dense(cfg.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(h)
         return x + h

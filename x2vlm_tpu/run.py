@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from x2vlm_tpu.core import config as config_lib
+from x2vlm_tpu.core import config_schema
 from x2vlm_tpu.core import io as io_lib
 from x2vlm_tpu.core import mesh as mesh_lib
 from x2vlm_tpu.data.factory import create_dataset
@@ -86,6 +87,9 @@ def setup(args):
     if args.output_hdfs:
         io_lib.hmkdir(args.output_hdfs)
     cfg = config_lib.load_config(args.config, overrides=args.override_cfg)
+    # refuse configs carrying keys nothing reads (the silent-knob class):
+    # every accepted key is registered with its consumer in core/config_schema
+    config_schema.validate_config(cfg, source=args.config)
     if args.bs > 0:
         cfg["batch_size"] = args.bs
     if args.epoch > 0:
@@ -102,7 +106,7 @@ def setup(args):
 
 
 def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=(),
-                   fsdp: int = 1):
+                   fsdp: int = 1, fresh_prefixes=()):
     """Reference optim.py:26-104 param groups: base lr, per-tower vision/text/
     cross lr overrides, and lr_mult for freshly-initialized params.
 
@@ -112,6 +116,14 @@ def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=(),
     Override with config ``flat_optimizer: false``."""
     opt = cfg.get("optimizer", {})
     sched_cfg = cfg.get("schedular", {})
+    # validate the algorithm selectors instead of silently ignoring them
+    # (reference optim.py builds AdamW, scheduler.py linear warmup-decay)
+    if str(opt.get("opt", "adamW")).lower() != "adamw":
+        raise ValueError(f"unsupported optimizer.opt: {opt.get('opt')!r} "
+                         "(only adamW, as the reference optim.py)")
+    if sched_cfg.get("sched", "linear") != "linear":
+        raise ValueError(f"unsupported schedular.sched: "
+                         f"{sched_cfg.get('sched')!r} (only linear)")
     base_lr = float(opt.get("lr", sched_cfg.get("lr", 1e-4)))
     sched = lr_schedule(
         base_lr,
@@ -120,7 +132,8 @@ def make_optimizer(cfg, params, total_steps, fusion_layer, fresh_paths=(),
         min_rate=sched_cfg.get("min_rate", 0.0),
     )
     labels = param_labels(params, fusion_layer=fusion_layer,
-                          fresh_paths=fresh_paths)
+                          fresh_paths=fresh_paths,
+                          fresh_prefixes=fresh_prefixes)
     return create_optimizer(
         params, sched,
         weight_decay=float(opt.get("weight_decay", 0.01)),
@@ -202,7 +215,38 @@ def load_initial_params(args, cfg, model, init_variables):
         raise ValueError("is_xvlm_ckpt is a Plus/CCLM import knob (Base→Plus "
                          "text-stack split); this model is not XVLMPlus")
     if not args.checkpoint:
-        return init_variables, []
+        # pretrain-from-raw: vision tower from the vision JSON's `ckpt`
+        # (reference xvlm.py:197,244,269 load_params=True) and the text stack
+        # from the HF text_encoder dir (build_text_encoder load_text_params,
+        # xvlm.py:312-360) — both auto-sniffed, merged in one pass. Skipped
+        # silently when the files aren't present (e.g. smoke tests).
+        tree = {}
+        vc_path = cfg.get("vision_config")
+        if vc_path and os.path.exists(vc_path):
+            vp = config_lib.read_json(vc_path).get("ckpt")
+            if vp and os.path.exists(vp):
+                sd = ckpt_lib.load_torch_checkpoint(vp)
+                t, unused, _ = ckpt_lib.convert_checkpoint_auto(
+                    sd, vision_cfg=mcfg.vision,
+                    text_layers=mcfg.text.num_layers,
+                    text_fusion_layer=mcfg.text.fusion_layer)
+                print(f"### vision init from {vp} ({len(unused)} unused)")
+                tree.update(t)
+        tdir = str(cfg.get("text_encoder", ""))
+        tbin = os.path.join(tdir, "pytorch_model.bin")
+        if os.path.isdir(tdir) and os.path.exists(tbin):
+            sd = ckpt_lib.load_torch_checkpoint(tbin)
+            t, unused, _ = ckpt_lib.convert_checkpoint_auto(
+                sd, vision_cfg=mcfg.vision,
+                text_layers=mcfg.text.num_layers,
+                text_fusion_layer=mcfg.text.fusion_layer)
+            print(f"### text init from {tbin} ({len(unused)} unused)")
+            tree.update(t)
+        if not tree:
+            return init_variables, []
+        params, missing = ckpt_lib.merge_imported(init_variables, tree)
+        _import_report(params, missing, "raw vision/text init", [])
+        return params, missing
     if args.checkpoint.endswith((".th", ".pth", ".pt", ".bin")):
         sd = ckpt_lib.load_torch_checkpoint(args.checkpoint)
         tree, unused, kind = ckpt_lib.convert_checkpoint_auto(
@@ -276,10 +320,15 @@ def _train_state_and_loop(args, cfg, mesh, model, mcfg, variables, missing,
     # every N loader batches, Retrieval.py:40,49-59 — there batch_size is
     # the microbatch; this framework keeps static shapes per jitted step.)
     steps_per_epoch = max(1, len(train_loader))
+    # large_lr_for_dec: the whole generation decoder trains at lr_mult
+    # (reference model_generation.py:445-447 init_params; vqa2_large.yaml:29)
+    fresh_prefixes = (("text_decoder", "dec_head")
+                      if cfg.get("large_lr_for_dec", False) else ())
     tx = make_optimizer(cfg, variables["params"],
                         total_steps=steps_per_epoch * epochs,
                         fusion_layer=mcfg.text.fusion_layer,
-                        fresh_paths=missing, fsdp=args.fsdp)
+                        fresh_paths=missing, fsdp=args.fsdp,
+                        fresh_prefixes=fresh_prefixes)
     state = create_train_state(variables, tx)
     state, resumed_step = maybe_resume(args, state)
     state = apply_fsdp(state, mesh)
@@ -303,6 +352,7 @@ def _train_state_and_loop(args, cfg, mesh, model, mcfg, variables, missing,
         rng_key=jax.random.PRNGKey(args.seed), use_mesh=True,
         eval_fn=(lambda st: eval_fn({"params": st.params}))
         if eval_fn else None,
+        eval_start_epoch=int(cfg.get("start_eval", 0)),
         metric_key=metric_key, output_dir=args.output_dir, save_fn=save_fn)
 
 
@@ -417,7 +467,7 @@ def run_nlvr(args, cfg, mesh, task="nlvr"):
 
 def run_grounding(args, cfg, mesh, task="grounding"):
     from x2vlm_tpu.data import MapLoader
-    from x2vlm_tpu.evalkit import grounding_eval_bbox
+    from x2vlm_tpu.evalkit import grounding_eval_bbox, grounding_eval_bbox_vlue
     from x2vlm_tpu.tasks.grounding import predict_grounding
 
     model, mcfg = build_model(cfg, "grounding")
@@ -444,10 +494,18 @@ def run_grounding(args, cfg, mesh, task="grounding"):
                                     batch_size=cfg.get("batch_size_test", 32),
                                     host_id=jax.process_index(),
                                     num_hosts=jax.process_count())
+        if cfg.get("vlue_test"):
+            # VLUE test json carries its own bbox/width/height annotations
+            # (reference Grounding_bbox.py:154-155)
+            tf = cfg["test_file"]
+            return grounding_eval_bbox_vlue(
+                results, tf[0] if isinstance(tf, (list, tuple)) else tf)
         return grounding_eval_bbox(results, refs) if refs else {"n": len(results)}
 
+    metric_key = ("score" if cfg.get("vlue_test")
+                  else "val_acc" if refs else None)
     _finetune_common(args, cfg, mesh, model, mcfg, loader, example,
-                     eval_fn=eval_fn, metric_key="val_acc" if refs else None)
+                     eval_fn=eval_fn, metric_key=metric_key)
 
 
 def run_vqa(args, cfg, mesh, task="vqa"):
@@ -576,6 +634,7 @@ def run_captioning(args, cfg, mesh, task="captioning"):
             num_beams=cfg.get("num_beams", 3),
             min_length=cfg.get("min_length", 5),
             max_length=cfg.get("max_length", 20),
+            length_penalty=float(cfg.get("length_penalty", 0.0)),
             batch_size=cfg.get("batch_size_test", 16),
             host_id=jax.process_index(), num_hosts=jax.process_count())
         return caption_eval(results, anns) if anns else {"n": len(results)}
@@ -699,7 +758,8 @@ def run_pretrain(args, cfg, mesh):
     video (+ video aux), text-MLM, and CCLM parallel-text streams (reference
     Pretrain.py:255-423, model_pretrain.py:148-196)."""
     from x2vlm_tpu.data import (
-        DistLineReader, TextPreprocessor, build_tokenizer, iter_batches,
+        DistLineReader, Prefetcher, TextPreprocessor, build_tokenizer,
+        iter_batches,
     )
     from x2vlm_tpu.data import transforms as T
     from x2vlm_tpu.data.multilingual import (
@@ -710,6 +770,19 @@ def run_pretrain(args, cfg, mesh):
     )
     from x2vlm_tpu.models.heads import pretrain_init_inputs
     from x2vlm_tpu.tasks.pretrain import PretrainStreams, pretrain_loop
+
+    # the mixed-stream step (all streams drawn every iteration) is the only
+    # implemented path, in the reference too (Pretrain.py:359 raises
+    # "i didn't use this" when mixed_in_batch is false)
+    if not cfg.get("mixed_in_batch", True):
+        raise ValueError("mixed_in_batch: false is not implemented "
+                         "(reference Pretrain.py:359 raises too)")
+    for _stream_key in ("images", "regions", "videos", "texts", "mtexts"):
+        if (cfg.get(_stream_key) or {}).get("tokenized", False):
+            # pre-tokenized inputs: unimplemented in the reference as well
+            # (pretrain_dataset.py:146-147 asserts tokenized is False)
+            raise ValueError(f"{_stream_key}.tokenized: true is not "
+                             "implemented (reference pretrain_dataset.py:147)")
 
     model, mcfg = build_model(cfg, "pretrain")
     tokenizer = build_tokenizer(cfg["text_encoder"])
@@ -811,10 +884,17 @@ def run_pretrain(args, cfg, mesh):
             reader = make_reader(name, paths)
             stream = VideoTextStream(
                 reader, pre, T.pretrain_transform(cfg["image_res"]),
-                frame_len=cfg.get("frame_len", 3),
-                frames_key=vcfg.get("frames_key", "frames"),
+                frame_len=vcfg.get("frame_len", cfg.get("frame_len", 3)),
+                # the reference names the frame list via the block's
+                # image_key (pretrain_dataset.py:298); frames_key wins if set
+                frames_key=vcfg.get("frames_key",
+                                    vcfg.get("image_key", "frames")),
                 caption_key=vcfg.get("caption_key", "caption"),
-                is_image_rpath=vcfg.get("is_image_rpath", False))
+                is_image_rpath=vcfg.get("is_image_rpath", False),
+                combine_continuous_clips=vcfg.get(
+                    "combine_continuous_clips", False),
+                minimum_frames_before_sampling=vcfg.get(
+                    "mininum_frames_before_sampling", -1))
             yield from iter_batches(iter(stream), vcfg.get("batch_size", 40))
 
         streams["video"] = video_batches("video", cfg["train_file_videos"])
@@ -882,6 +962,24 @@ def run_pretrain(args, cfg, mesh):
         state, start_step = maybe_resume(args, state)
         state = apply_fsdp(state, mesh)
 
+        # overlap host decode/augment with device steps: one background
+        # prefetch thread per stream, queue depth = the block's num_workers
+        # (the reference's DataLoader num_workers). The checkpointed data
+        # cursor then runs at most `depth` batches ahead of training — a
+        # bounded resume skew (the reference restarts data from zero).
+        def _nw(block):
+            return max(1, int((block or {}).get("num_workers", 2)))
+
+        _depths = {"image": _nw(cfg.get("images")),
+                   "aux": _nw(cfg.get("images")),
+                   "region": _nw(cfg.get("regions")),
+                   "video": _nw(cfg.get("videos")),
+                   "video_aux": _nw(cfg.get("videos")),
+                   "text": _nw(cfg.get("texts")),
+                   "mtext": _nw(cfg.get("mtexts"))}
+        streams = {k: iter(Prefetcher(v, depth=_depths.get(k, 2)))
+                   for k, v in streams.items()}
+
         ps = PretrainStreams(
             image=streams["image"], region=streams.get("region"),
             video=streams.get("video"), text=streams.get("text"),
@@ -914,8 +1012,11 @@ def run_pretrain(args, cfg, mesh):
             rng_key=jax.random.PRNGKey(args.seed),
             shard_fn=mesh_lib.shard_batch,
             stop_calc_itm_after=cfg.get("stop_calc_itm", None),
+            calc_image_bbox_loss=cfg.get("calc_image_bbox_loss", False),
             checkpoint_fn=checkpoint_fn,
-            checkpoint_every=cfg.get("ckpt_frequent_step", 50000))
+            checkpoint_every=cfg.get("ckpt_frequent_step", 50000),
+            epoch_steps=steps_per_epoch,
+            epoch_save_frequent=int(cfg.get("ckpt_frequent", 1)))
 
 
 def main(argv=None):

@@ -17,7 +17,8 @@ __all__ = ["generate_captions"]
 
 def generate_captions(model, variables, dataset, tokenizer, *,
                       prompt: str = "", num_beams: int = 3, min_length: int = 5,
-                      max_length: int = 20, batch_size: int = 16,
+                      max_length: int = 20, length_penalty: float = 0.0,
+                      batch_size: int = 16,
                       host_id: int = 0, num_hosts: int = 1,
                       on_device: bool = True) -> List[Dict]:
     """Returns [{image_id, caption}]. ``on_device=True`` (default) runs the
@@ -41,7 +42,8 @@ def generate_captions(model, variables, dataset, tokenizer, *,
             model, variables, image, prompt_ids,
             mask_token_id=tokenizer.mask_token_id,
             eos_token_id=tokenizer.sep_token_id,
-            num_beams=num_beams, min_length=min_length, max_length=max_length)
+            num_beams=num_beams, min_length=min_length, max_length=max_length,
+            length_penalty=length_penalty)
         for j, s in enumerate(samples):
             caption = tokenizer.decode(seqs[j], skip_special_tokens=True)
             results.append({"image_id": int(s["image_id"]), "caption": caption})

@@ -36,6 +36,7 @@ def train_epochs(
     start_epoch: int = 0,
     use_mesh: bool = False,
     eval_fn: Optional[Callable] = None,
+    eval_start_epoch: int = 0,
     metric_key: Optional[str] = None,
     output_dir: Optional[str] = None,
     save_fn: Optional[Callable] = None,
@@ -61,7 +62,9 @@ def train_epochs(
 
         record = {"epoch": epoch, **logger.to_dict()}
         is_best = False
-        if eval_fn is not None:
+        # `start_eval` skips the (expensive) eval for early epochs
+        # (reference VQA.py:233,249)
+        if eval_fn is not None and epoch >= eval_start_epoch:
             eval_metrics = eval_fn(state)
             record.update({f"eval_{k}": v for k, v in eval_metrics.items()})
             if metric_key and eval_metrics.get(metric_key, float("-inf")) > best:

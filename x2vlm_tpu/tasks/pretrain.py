@@ -84,17 +84,29 @@ def pretrain_loop(
     rng_key,
     shard_fn: Callable = lambda b: b,
     stop_calc_itm_after: Optional[int] = None,
+    calc_image_bbox_loss: bool = False,
     start_step: int = 0,
     log_every: int = 50,
     logger: Optional[MetricLogger] = None,
     checkpoint_fn: Optional[Callable] = None,
     checkpoint_every: int = 0,
+    epoch_steps: int = 0,
+    epoch_save_frequent: int = 1,
 ) -> TrainState:
     """Run mixed iterations from ``start_step`` (resume) to ``num_steps``.
 
     ``stop_calc_itm_after`` reproduces the reference's NaN-guard schedule
     (configs/pretrain/x2vlm_base_1b.yaml:70) — structurally unnecessary in
-    bf16 but kept for config parity."""
+    bf16 but kept for config parity.
+
+    ``calc_image_bbox_loss`` keeps the bbox loss on full-image region rows
+    (reference Pretrain.py:87-88 passes is_image=None); default False excludes
+    them, as every shipped config does.
+
+    ``epoch_steps`` > 0 additionally checkpoints at every
+    ``epoch_save_frequent``-th epoch boundary and at the final step
+    (reference Pretrain.py:377 ``ckpt_frequent``), on top of the
+    ``checkpoint_every``-step cadence (``ckpt_frequent_step``)."""
     logger = logger or MetricLogger()
     s = streams
 
@@ -145,7 +157,12 @@ def pretrain_loop(
         metrics = {f"image_{k}": v for k, v in losses.items()}
 
         if s.region is not None:
-            rb = shard_fn(next(s.region))
+            rb = dict(next(s.region))
+            if calc_image_bbox_loss and "is_image" in rb:
+                # keep every row in the bbox loss (reference is_image=None);
+                # zeroing the mask preserves the static batch shape
+                rb["is_image"] = rb["is_image"] * 0
+            rb = shard_fn(rb)
             g2, l2 = grad_region[calc_itm](state.params, rb,
                                            jax.random.fold_in(key, 1))
             grads = tree_add(grads, g2)
@@ -175,9 +192,16 @@ def pretrain_loop(
         state = apply_grads(state, grads)
         logger.update(**{k: float(v) for k, v in metrics.items()})
 
-        if checkpoint_fn and checkpoint_every and (it + 1) % checkpoint_every == 0:
-            checkpoint_fn(state, it + 1)
-            last_saved = it + 1
+        if checkpoint_fn:
+            step_hit = checkpoint_every and (it + 1) % checkpoint_every == 0
+            # epoch-boundary saves (reference Pretrain.py:377: every
+            # ckpt_frequent-th epoch, and always at the final epoch)
+            epoch_hit = (epoch_steps and (it + 1) % epoch_steps == 0 and
+                         (((it + 1) // epoch_steps) % max(1, epoch_save_frequent)
+                          == 0 or it + 1 == num_steps))
+            if (step_hit or epoch_hit) and last_saved != it + 1:
+                checkpoint_fn(state, it + 1)
+                last_saved = it + 1
 
     # always persist the final state (reference Pretrain.py:366-413 saves at
     # epoch end; runs shorter than ckpt_frequent_step must not exit empty)

@@ -58,13 +58,18 @@ def _is_no_decay(path: str, leaf) -> bool:
 
 
 def param_labels(params, fusion_layer: int,
-                 fresh_paths: Optional[Iterable[str]] = None) -> Any:
+                 fresh_paths: Optional[Iterable[str]] = None,
+                 fresh_prefixes: Iterable[str] = ()) -> Any:
     """Label tree: 'vision' | 'text' | 'cross' | 'other' | 'fresh'.
 
     ``fresh_paths`` are '/'-joined paths (as returned by
     checkpoint.merge_imported's missing list) for from-scratch params that get
-    the lr_mult group (reference init_params, xvlm.py:566-577)."""
+    the lr_mult group (reference init_params, xvlm.py:566-577).
+    ``fresh_prefixes`` put whole subtrees in the lr_mult group — e.g.
+    ("text_decoder",) for large_lr_for_dec (reference
+    model_generation.py:445-447 puts every decoder param in init_params)."""
     fresh = set(fresh_paths or ())
+    prefixes = tuple(fresh_prefixes or ())
 
     def label(path, leaf):
         p = _path_str(path)
@@ -73,6 +78,8 @@ def param_labels(params, fusion_layer: int,
             if rel.startswith(scope_strip):
                 rel = rel[len(scope_strip):]
         if rel in fresh or p in fresh:
+            return "fresh"
+        if any(rel.startswith(pfx) for pfx in prefixes):
             return "fresh"
         if "vision_encoder" in p:
             return "vision"
