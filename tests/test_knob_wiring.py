@@ -268,3 +268,42 @@ def test_video_stream_combines_continuous_clips(tmp_path):
     stream2 = VideoTextStream(reader2, pre, test_transform(16), frame_len=3,
                               rng=random.Random(0))
     assert len(list(stream2)) == 1 and stream2.broken == 0
+
+
+def test_uint8_transport_matches_host_normalize():
+    """PatchEmbed's uint8 fast path (on-device CLIP normalize) is
+    bit-identical to host-normalized float input — the pretrain feed-rate
+    lever (tools/bench_input_pipeline.py) cannot drift numerics."""
+    from x2vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    from x2vlm_tpu.ops.layers import IMAGE_MEAN, IMAGE_STD, PatchEmbed
+
+    np.testing.assert_array_equal(np.asarray(IMAGE_MEAN), CLIP_MEAN)
+    np.testing.assert_array_equal(np.asarray(IMAGE_STD), CLIP_STD)
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    host = (raw.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+    m = PatchEmbed(embed_dim=16, patch_size=16, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(host))
+    y_float = m.apply(params, jnp.asarray(host))
+    y_uint8 = m.apply(params, jnp.asarray(raw))
+    np.testing.assert_array_equal(np.asarray(y_float), np.asarray(y_uint8))
+
+
+def test_pretrain_transform_uint8_mode():
+    from PIL import Image
+
+    from x2vlm_tpu.data.transforms import pretrain_transform
+
+    img = Image.new("RGB", (64, 48), (120, 30, 200))
+    t8 = pretrain_transform(32, rng=random.Random(0), as_float=False)
+    tf = pretrain_transform(32, rng=random.Random(0))
+    a8, af = t8(img), tf(img)
+    assert a8.dtype == np.uint8 and a8.shape == (32, 32, 3)
+    assert af.dtype == np.float32
+    # same rng stream → same augmentation; normalize(a8) == af
+    from x2vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    np.testing.assert_allclose((a8.astype(np.float32) / 255 - CLIP_MEAN)
+                               / CLIP_STD, af, atol=1e-6)

@@ -69,7 +69,8 @@ class ImageTextStream(_StreamBase):
         for ann in self.reader.iter_json():
             try:
                 img = _open_image(ann, self.image_key, self.is_image_rpath)
-                image = self.transform(img).astype(np.float32)
+                image = np.asarray(self.transform(img))  # f32 or uint8 (on-
+                                                         # device normalize)
                 caption = _choose_caption(ann[self.caption_key], self.rng)
                 ids, atts, ids_masked, pos, labels = self.text_pre(
                     caption, with_masking=True)
@@ -215,7 +216,7 @@ class VideoTextStream(_StreamBase):
                 imgs = []
                 for fi in ids:
                     img = _open_image({"f": frames[fi]}, "f", self.is_image_rpath)
-                    imgs.append(self.transform(img).astype(np.float32))
+                    imgs.append(np.asarray(self.transform(img)))
                 image = np.stack(imgs)  # (F, H, W, 3)
                 t_ids, atts, ids_masked, pos, labels = self.text_pre(
                     caption, with_masking=True)

@@ -18,9 +18,9 @@ import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
 __all__ = [
-    "CLIP_MEAN", "CLIP_STD", "normalize", "random_resized_crop", "hflip",
-    "RandomAugment", "pretrain_transform", "train_transform", "test_transform",
-    "box_transform",
+    "CLIP_MEAN", "CLIP_STD", "normalize", "to_uint8", "random_resized_crop",
+    "hflip", "RandomAugment", "pretrain_transform", "train_transform",
+    "test_transform", "box_transform",
 ]
 
 CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -31,6 +31,13 @@ def normalize(img: Image.Image) -> np.ndarray:
     """PIL RGB → normalized float32 NHWC array (H, W, 3)."""
     x = np.asarray(img.convert("RGB"), np.float32) / 255.0
     return (x - CLIP_MEAN) / CLIP_STD
+
+
+def to_uint8(img: Image.Image) -> np.ndarray:
+    """PIL RGB → raw uint8 (H, W, 3); normalization happens ON-DEVICE
+    (ops/layers.PatchEmbed uint8 path, bit-identical math) — 4× less
+    host→device traffic and no per-image host float pass."""
+    return np.asarray(img.convert("RGB"), np.uint8)
 
 
 def random_resized_crop(img: Image.Image, size: int,
@@ -114,8 +121,12 @@ class RandomAugment:
         return img
 
 
-def pretrain_transform(image_res: int, rng: Optional[random.Random] = None
+def pretrain_transform(image_res: int, rng: Optional[random.Random] = None,
+                       as_float: bool = True
                        ) -> Callable[[Image.Image], np.ndarray]:
+    """``as_float=False`` emits uint8 and defers normalization to the device
+    (PatchEmbed uint8 path) — the pretrain feed-rate lever measured in
+    tools/bench_input_pipeline.py."""
     aug = RandomAugment(2, 7, rng=rng)
     rng = rng or random
 
@@ -123,7 +134,8 @@ def pretrain_transform(image_res: int, rng: Optional[random.Random] = None
         img = random_resized_crop(img, image_res, scale=(0.2, 1.0), rng=rng)
         if rng.random() < 0.5:
             img = hflip(img)
-        return normalize(aug(img))
+        img = aug(img)
+        return normalize(img) if as_float else to_uint8(img)
 
     return f
 

@@ -46,6 +46,12 @@ def checkpoint_policy(name: Optional[str]):
     return policies[name]
 
 
+# CLIP image stats (kept numerically identical to data.transforms.CLIP_MEAN/
+# STD — the uint8 fast path must match host normalization bit-for-bit)
+IMAGE_MEAN = jnp.asarray([0.48145466, 0.4578275, 0.40821073], jnp.float32)
+IMAGE_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711], jnp.float32)
+
+
 class PatchEmbed(nn.Module):
     """Non-overlapping patchify as space-to-depth + ONE matmul.
 
@@ -72,6 +78,14 @@ class PatchEmbed(nn.Module):
         B, H, W, C = pixels.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (p, p, C, self.embed_dim), jnp.float32)
+        if pixels.dtype == jnp.uint8:
+            # uint8 host transport: the CLIP normalize runs on-device in fp32
+            # (same math/order as data.transforms.normalize — bit-identical
+            # to host-normalized input), fused by XLA into the patch matmul.
+            # 4× less host→device traffic + no per-image float pass on the
+            # one-core host (see tools/bench_input_pipeline.py).
+            pixels = (pixels.astype(jnp.float32) / 255.0
+                      - IMAGE_MEAN) / IMAGE_STD
         x = pixels.astype(self.dtype)
         # (B, H, W, C) → (B, N, p·p·C); the flatten order (ph, pw, C) matches
         # the conv kernel's (kh, kw, in) layout, so kernel.reshape matches.

@@ -818,11 +818,11 @@ def run_pretrain(args, cfg, mesh):
                   is_image_rpath=icfg.get("is_image_rpath", False))
         if icfg.get("languages"):
             stream = ImageMultiTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"]),
+                reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False),
                 languages=icfg["languages"], **kw)
         else:
             stream = ImageTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"]), **kw)
+                reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False), **kw)
 
         def batches():
             yield from iter_batches(iter(stream), icfg.get("batch_size", 128))
@@ -883,7 +883,7 @@ def run_pretrain(args, cfg, mesh):
         def video_batches(name, paths):
             reader = make_reader(name, paths)
             stream = VideoTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"]),
+                reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False),
                 frame_len=vcfg.get("frame_len", cfg.get("frame_len", 3)),
                 # the reference names the frame list via the block's
                 # image_key (pretrain_dataset.py:298); frames_key wins if set
