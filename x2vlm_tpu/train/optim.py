@@ -114,11 +114,16 @@ def create_optimizer(
 
     ``flatten=True`` runs the mathematically-identical update over ONE flat
     fp32 vector (leaves grouped into contiguous same-coefficient segments):
-    a few fused kernels instead of ~10 tiny kernels × hundreds of leaves
-    (measured ~9 → ~4 ms/step at base scale). Use only with replicated
-    optimizer state (fsdp == 1) — the flat state conflicts with per-leaf
-    fsdp partition rules, and its checkpoint layout differs from the tree
-    optimizer's."""
+    a few fused kernels instead of ~10 tiny kernels × hundreds of leaves.
+    CAUTION — the op-level kernel saving (~9 → ~4 ms at base scale) does NOT
+    survive at model level: the whole-tree _flatten/_unflatten copies cost
+    ~4 full param-size HBM passes per step, and a same-run interleaved v5e
+    A/B measured the base pretrain step at 138-141 ms flat vs 107-108 ms
+    tree (211 vs 137.8 ms at 593M). Off by default everywhere; opt in via
+    config ``flat_optimizer: true`` only for param trees with thousands of
+    tiny leaves. Also requires replicated optimizer state (fsdp == 1) — the
+    flat state conflicts with per-leaf fsdp partition rules, and its
+    checkpoint layout differs from the tree optimizer's."""
 
     decay_mask = jax.tree_util.tree_map_with_path(
         lambda path, leaf: not _is_no_decay(_path_str(path), leaf), params)
