@@ -370,3 +370,82 @@ def test_cli_accumulation_step_math_and_pick_best(tmp_path):
           "--output_dir", str(out_dir), "--seed", "0", "--resume"])
     _, step2 = ckpt_lib.restore_train_state(ckpt_dir, None)
     assert step2 == 4, step2
+
+
+@pytest.mark.slow
+def test_cli_grounding_vlue_eval(tmp_path):
+    """`vlue_test: true` routes eval through grounding_eval_bbox_vlue using
+    the test json's own bbox/width/height annotations (reference
+    Grounding_bbox.py:154-155)."""
+    from x2vlm_tpu.run import main
+
+    tok_dir = _write_vocab_dir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+    ann = [{"image": f"im{i}.png", "text": "small red house", "ref_id": i,
+            "bbox": [8, 8, 16, 16], "width": 40, "height": 40}
+           for i in range(4)]
+    (tmp_path / "vlue.json").write_text(json.dumps(ann))
+    cfg = _tiny_model_cfg(tok_dir)
+    cfg.update({"train_file": [str(tmp_path / "vlue.json")],
+                "test_file": str(tmp_path / "vlue.json"),
+                "vlue_test": True,
+                "image_root": str(img_dir), "batch_size_test": 4})
+    (tmp_path / "vlue.yaml").write_text(yaml.safe_dump(cfg))
+    main(["--task", "grounding", "--config", str(tmp_path / "vlue.yaml"),
+          "--output_dir", str(tmp_path / "out"), "--seed", "0",
+          "--evaluate"])
+    rec = json.loads((tmp_path / "out" / "log.txt").read_text()
+                     .strip().splitlines()[-1])
+    assert "score" in rec["eval"] and 0.0 <= rec["eval"]["score"] <= 1.0
+
+
+def test_fewshot_path_templating(tmp_path):
+    """--fewshot ar,25 fills '{}' templates: one slot gets the joined string
+    (MARVL.py:247, XGQA.py:313), two slots get (lang, shots) (XVNLI.py:266),
+    and eval files get the language alone (XVNLI.py:268)."""
+    from x2vlm_tpu.run import parse_args, setup
+
+    cfg = {
+        "image_res": 32,
+        "train_file": ["data/marvl_fewshot/{}.json",
+                       "data/xvnli_train_{}_{}.json"],
+        "test_file": "data/xvnli_val_{}.json",
+        "text_encoder": "bert-tiny",
+    }
+    p = tmp_path / "fs.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    args = parse_args(["--task", "nlvr", "--config", str(p),
+                       "--output_dir", str(tmp_path / "out"),
+                       "--fewshot", "ar,25"])
+    out, _ = setup(args)
+    assert out["train_file"] == ["data/marvl_fewshot/ar,25.json",
+                                 "data/xvnli_train_ar_25.json"]
+    assert out["test_file"] == "data/xvnli_val_ar.json"
+
+
+def test_cli_override_flags(tmp_path):
+    """--lr/--k_test/--num_workers/--pick_best_r1/--gmt reach the config
+    (reference run.py:452-463)."""
+    from x2vlm_tpu.run import parse_args, setup
+
+    cfg = {"image_res": 32, "k_test": 32,
+           "test_file": "plain.json", "gmt_test_file": "gmt.json",
+           "images": {"batch_size": 8, "num_workers": 2},
+           "optimizer": {"lr": 1e-4}, "schedular": {"lr": 1e-4}}
+    p = tmp_path / "ov.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    args = parse_args(["--task", "retrieval", "--config", str(p),
+                       "--output_dir", str(tmp_path / "out"),
+                       "--lr", "3e-5", "--k_test", "64",
+                       "--num_workers", "7", "--pick_best_r1", "--gmt"])
+    out, _ = setup(args)
+    assert out["optimizer"]["lr"] == 3e-5 and out["schedular"]["lr"] == 3e-5
+    assert out["k_test"] == 64
+    assert out["images"]["num_workers"] == 7
+    assert out["pick_best_r1"] is True
+    assert out["test_file"] == "gmt.json"

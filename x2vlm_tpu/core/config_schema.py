@@ -133,6 +133,8 @@ TOP_LEVEL = {
     "video_aux_iter_perc": "run_pretrain",
     "regions_use_bbox_only": "run_pretrain (zero itc/itm/mlm on regions)",
     "pick_best_t2v": "run_retrieval (best-ckpt metric)",
+    "pick_best_r1": "run_retrieval (best-ckpt metric; --pick_best_r1)",
+    "gmt_test_file": "run.setup (--gmt swaps it into test_file)",
     # --- checkpoint import knobs ---------------------------------------------
     "is_xvlm_ckpt": "run.load_initial_params (Base→Plus split)",
     "xvlm_ckpt_text_num_hidden_layers": "run.load_initial_params",

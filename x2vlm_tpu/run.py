@@ -69,6 +69,25 @@ def parse_args(argv=None):
                    help="size of the parameter-sharding mesh axis (ZeRO)")
     p.add_argument("--wait", default=0, type=int,
                    help="minutes to sleep before starting (reference run.py:476)")
+    p.add_argument("--fewshot", default="",
+                   help="IGLUE fewshot. <lang>,<shot_num>, eg: ar,25 — "
+                        "fills '{}' templates in the config's data paths "
+                        "(reference run.py:462, XGQA.py:312-314, "
+                        "XVNLI.py:264-268, MARVL.py:246-247)")
+    p.add_argument("--lr", default=0.0, type=float,
+                   help="override learning rate (reference run.py:463)")
+    p.add_argument("--k_test", default=-1, type=int,
+                   help="override retrieval rerank depth (reference run.py:452)")
+    p.add_argument("--num_workers", default=-1, type=int,
+                   help="override every stream block's num_workers "
+                        "(reference run.py:453)")
+    p.add_argument("--pick_best_r1", action="store_true",
+                   help="retrieval: track best ckpt by mean(txt_r1, img_r1) "
+                        "(reference Retrieval.py:365-366)")
+    p.add_argument("--gmt", action="store_true",
+                   help="use the google-machine-translated test set "
+                        "(test_file := gmt_test_file; reference "
+                        "XVNLI.py:274, WIT.py:404, xFlickrCO.py:420)")
     p.add_argument("--output_hdfs", default="",
                    help="remote (hdfs:// or gs://) dir mirroring the run's "
                         "artifacts — log, config, results, checkpoints "
@@ -90,11 +109,46 @@ def setup(args):
     # refuse configs carrying keys nothing reads (the silent-knob class):
     # every accepted key is registered with its consumer in core/config_schema
     config_schema.validate_config(cfg, source=args.config)
+    if args.fewshot:
+        # IGLUE few-shot: fill '{}' path templates. Reference variants:
+        # MARVL/XGQA format the joined "<lang>,<shots>" string into one slot
+        # (MARVL.py:247, XGQA.py:313-314); XVNLI formats train with both
+        # parts and val with the language alone (XVNLI.py:264-268).
+        parts = args.fewshot.split(",")
+
+        def fill(path, lang_only):
+            if not (isinstance(path, str) and "{}" in path):
+                return path
+            n = path.count("{}")
+            if n >= 2:
+                return path.format(*parts[:n])
+            return path.format(parts[0] if lang_only else args.fewshot)
+
+        for key in ("train_file", "valid_file", "val_file", "test_file"):
+            if key in cfg:
+                v, lang_only = cfg[key], key in ("val_file", "test_file")
+                cfg[key] = [fill(p, lang_only) for p in v] \
+                    if isinstance(v, list) else fill(v, lang_only)
     if args.bs > 0:
         cfg["batch_size"] = args.bs
     if args.epoch > 0:
         cfg["schedular"] = dict(cfg.get("schedular", {}))
         cfg["schedular"]["epochs"] = args.epoch
+    if args.lr > 0:
+        # reference scripts set schedular.lr (e.g. WIT.py:272); make_optimizer
+        # reads optimizer.lr first — override both
+        cfg["optimizer"] = dict(cfg.get("optimizer", {}), lr=args.lr)
+        cfg["schedular"] = dict(cfg.get("schedular", {}), lr=args.lr)
+    if args.k_test > 0:
+        cfg["k_test"] = args.k_test
+    if args.num_workers > 0:
+        for block in ("images", "regions", "videos", "texts", "mtexts"):
+            if isinstance(cfg.get(block), dict):
+                cfg[block] = dict(cfg[block], num_workers=args.num_workers)
+    if args.pick_best_r1:
+        cfg["pick_best_r1"] = True
+    if args.gmt:
+        cfg["test_file"] = cfg["gmt_test_file"]
     random.seed(args.seed)
     np.random.seed(args.seed)
     with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
@@ -413,8 +467,11 @@ def run_retrieval(args, cfg, mesh, task="retrieval"):
 
         # MSRVTT-style video retrieval tracks the best checkpoint by
         # text→video recall (img_r_mean) instead of the overall mean
-        # (reference --pick_best_t2v, run.py:162, Retrieval.py:367,435)
-        metric_key = "img_r_mean" if cfg.get("pick_best_t2v") else "r_mean"
+        # (reference --pick_best_t2v, run.py:162, Retrieval.py:367,435;
+        # --pick_best_r1 tracks mean R@1, Retrieval.py:365-366)
+        metric_key = ("img_r_mean" if cfg.get("pick_best_t2v")
+                      else "r1_mean" if cfg.get("pick_best_r1")
+                      else "r_mean")
 
         def eval_fn(v):
             return eval_multi(

@@ -181,6 +181,7 @@ def itm_eval(scores_i2t: np.ndarray, scores_t2i: np.ndarray,
     ir_mean = (ir1 + ir5 + ir10) / 3
     return {"txt_r1": tr1, "txt_r5": tr5, "txt_r10": tr10, "txt_r_mean": tr_mean,
             "img_r1": ir1, "img_r5": ir5, "img_r10": ir10, "img_r_mean": ir_mean,
+            "r1_mean": (tr1 + ir1) / 2,  # --pick_best_r1 (Retrieval.py:365)
             "r_mean": (tr_mean + ir_mean) / 2}
 
 
