@@ -1,0 +1,103 @@
+"""Serving export bundles: jax.export AOT artifacts + weights, reloaded and
+cross-checked against direct model.apply (x2vlm_tpu/serving.py; deployment
+surface the reference lacks — its eval scripts double as the serving story)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x2vlm_tpu.models import BEiT2Config, BertConfig, XVLMConfig
+from x2vlm_tpu.models.heads import XVLMForRetrieval
+from x2vlm_tpu.serving import (
+    export_retrieval_bundle, load_bundle, load_params_npz, save_params_npz,
+)
+
+
+def _tiny_retrieval(rng):
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32),
+        embed_dim=16)
+    model = XVLMForRetrieval(cfg, dtype=jnp.float32)
+    image = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 31, (4, 8)), jnp.int32)
+    atts = jnp.ones((4, 8), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {"image": image, "text_ids": ids[:2], "text_atts": atts[:2],
+         "idx": jnp.zeros((2,), jnp.int32)}, rng=jax.random.PRNGKey(2))
+    return model, variables, image, ids, atts
+
+
+def test_export_reload_matches_model_apply(tmp_path, rng):
+    model, variables, image, ids, atts = _tiny_retrieval(rng)
+    arts = export_retrieval_bundle(
+        model, variables, str(tmp_path), batch_images=2, batch_texts=4,
+        max_tokens=8, rerank_pairs=2, platforms=["cpu"],
+        config_echo={"image_res": 32})
+    assert sorted(arts) == ["encode_images", "encode_texts", "itm_score"]
+    for p in arts.values():
+        assert os.path.getsize(p) > 0
+
+    b = load_bundle(str(tmp_path))
+    assert b.manifest["platforms"] == ["cpu"]
+    assert b.manifest["batch_images"] == 2
+    assert b.manifest["config"]["image_res"] == 32
+
+    ie, fi = b.encode_images(image)
+    te, ft = b.encode_texts(ids, atts)
+    ie0, fi0 = model.apply(variables, image, method=model.encode_images)
+    te0, ft0 = model.apply(variables, ids, atts, method=model.encode_texts)
+    np.testing.assert_allclose(np.asarray(ie), np.asarray(ie0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(fi0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(te), np.asarray(te0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(ft0), atol=1e-6)
+
+    s = b.itm_score(ie, te[:2], atts[:2])
+    s0 = model.apply(variables, ie0, te0[:2], atts[:2],
+                     method=model.itm_score)
+    assert s.shape == (2,)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), atol=1e-6)
+
+
+def test_params_npz_roundtrip(tmp_path, rng):
+    model, variables, *_ = _tiny_retrieval(rng)
+    p = str(tmp_path / "params.npz")
+    save_params_npz(p, variables)
+    back = load_params_npz(p)
+    la = jax.tree_util.tree_leaves_with_path(variables)
+    lb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(la) == len(lb)
+    for k, v in la:
+        w = lb[jax.tree_util.keystr(k)]
+        assert v.dtype == w.dtype
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(w))
+
+
+def test_export_weights_are_arguments_not_constants(tmp_path, rng):
+    """The .jexp artifacts must stay small (program only): a weight swap must
+    not require re-export — scores change when params.npz changes."""
+    model, variables, image, ids, atts = _tiny_retrieval(rng)
+    export_retrieval_bundle(model, variables, str(tmp_path), batch_images=2,
+                            batch_texts=4, max_tokens=8, rerank_pairs=2,
+                            platforms=["cpu"])
+    b = load_bundle(str(tmp_path))
+    ie1, _ = b.encode_images(image)
+    # perturb one weight and reload the SAME programs with the new weights
+    v2 = jax.tree_util.tree_map(lambda x: x * 1.01, variables)
+    save_params_npz(str(tmp_path / "params.npz"), v2)
+    b2 = load_bundle(str(tmp_path))
+    ie2, _ = b2.encode_images(image)
+    assert not np.allclose(np.asarray(ie1), np.asarray(ie2))
+    # artifact size sanity: far below the weights (program-only)
+    n_bytes = sum(np.asarray(x).nbytes
+                  for x in jax.tree_util.tree_leaves(variables))
+    art = os.path.getsize(tmp_path / "encode_images.jexp")
+    assert art < n_bytes / 2

@@ -1,0 +1,123 @@
+"""Export a retrieval serving bundle (AOT StableHLO + weights).
+
+    python tools/export_serving.py --config configs/finetune/retrieval_flickr_base.yaml \
+        --checkpoint ckpt.th --out bundle/ [--batch_images 64] [--batch_texts 256] \
+        [--platform tpu]
+
+Produces bundle/{manifest.json, params.npz, encode_images.jexp,
+encode_texts.jexp, itm_score.jexp} — see x2vlm_tpu/serving.py. `--selftest`
+exports a tiny CPU bundle into a temp dir, reloads it, and cross-checks the
+three programs against direct model.apply outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def selftest() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from x2vlm_tpu.models import BEiT2Config, BertConfig, XVLMConfig
+    from x2vlm_tpu.models.heads import XVLMForRetrieval
+    from x2vlm_tpu.serving import export_retrieval_bundle, load_bundle
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32),
+        embed_dim=16)
+    model = XVLMForRetrieval(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 31, (4, 8)), jnp.int32)
+    atts = jnp.ones((4, 8), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {"image": image, "text_ids": ids[:2], "text_atts": atts[:2],
+         "idx": jnp.zeros((2,), jnp.int32)}, rng=jax.random.PRNGKey(2))
+
+    with tempfile.TemporaryDirectory() as d:
+        export_retrieval_bundle(model, variables, d, batch_images=2,
+                                batch_texts=4, max_tokens=8, rerank_pairs=2,
+                                platforms=["cpu"])
+        b = load_bundle(d)
+        ie, feat_i = b.encode_images(image)
+        te, feat_t = b.encode_texts(ids, atts)
+        ie0, feat_i0 = model.apply(variables, image,
+                                   method=model.encode_images)
+        np.testing.assert_allclose(np.asarray(ie), np.asarray(ie0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(feat_i), np.asarray(feat_i0),
+                                   atol=1e-6)
+        s = b.itm_score(ie, te[:2], atts[:2])
+        s0 = model.apply(variables, ie0, te[:2], atts[:2],
+                         method=model.itm_score)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s0), atol=1e-6)
+    print("serving selftest OK: export -> reload -> outputs match model.apply")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--config")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--out")
+    ap.add_argument("--batch_images", type=int, default=64)
+    ap.add_argument("--batch_texts", type=int, default=256)
+    ap.add_argument("--rerank_pairs", type=int, default=0)
+    ap.add_argument("--platform", default="",
+                    help="export platform (tpu|cpu|...); default = current")
+    args = ap.parse_args()
+    if args.selftest:
+        sys.exit(selftest())
+    assert args.config and args.out, "--config and --out required"
+
+    import argparse as _ap
+
+    import jax
+
+    from x2vlm_tpu.core.config import load_config
+    from x2vlm_tpu.factory import build_model
+    from x2vlm_tpu.run import load_initial_params
+
+    cfg = load_config(args.config)
+    model, mcfg = build_model(cfg, "retrieval")
+    res, mt = cfg["image_res"], cfg.get("max_tokens", 40)
+    example = {
+        "image": jax.numpy.zeros((2, res, res, 3)),
+        "text_ids": jax.numpy.zeros((2, mt), jax.numpy.int32),
+        "text_atts": jax.numpy.ones((2, mt), jax.numpy.int32),
+        "idx": jax.numpy.zeros((2,), jax.numpy.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        example, rng=jax.random.PRNGKey(2))
+    fake_args = _ap.Namespace(checkpoint=args.checkpoint)
+    variables, _ = load_initial_params(fake_args, cfg, model, variables)
+
+    from x2vlm_tpu.serving import export_retrieval_bundle
+
+    arts = export_retrieval_bundle(
+        model, variables, args.out,
+        batch_images=args.batch_images, batch_texts=args.batch_texts,
+        max_tokens=mt, rerank_pairs=args.rerank_pairs or None,
+        platforms=[args.platform] if args.platform else None,
+        config_echo=dict(cfg))
+    print(f"exported {sorted(arts)} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

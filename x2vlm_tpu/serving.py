@@ -1,0 +1,187 @@
+"""Deployment export: AOT-serialized StableHLO serving bundles (jax.export).
+
+The reference has no deployment story (training scripts double as eval
+servers); the TPU-native posture is to export the retrieval serving path —
+the two encoders and the ITM rerank head (reference Retrieval.py:126-137
+two-stage protocol) — as *portable compiled programs*:
+
+    bundle/
+      manifest.json        shapes, dtypes, platforms, model config echo
+      params.npz           flat '/'-joined param arrays (weights)
+      encode_images.jexp   Exported: (params, images) -> (embeds, feat)
+      encode_texts.jexp    Exported: (params, ids, atts) -> (embeds, feat)
+      itm_score.jexp       Exported: (params, img_embeds, txt_embeds, txt_atts)
+                           -> (N,) match scores
+
+Weights are ARGUMENTS, not baked constants: the .jexp artifacts carry only
+the lowered program (StableHLO), so they are small, and a fine-tuned params
+swap does not need a re-export. `load_bundle` rehydrates everything and
+serves through `ServingBundle.encode_images/encode_texts/itm_score`, which
+run the deserialized programs via jax on whatever backend matches the
+export platforms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+__all__ = ["export_retrieval_bundle", "load_bundle", "ServingBundle",
+           "save_params_npz", "load_params_npz"]
+
+
+def _flatten(params: Dict) -> Dict[str, np.ndarray]:
+    out = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            out[prefix] = np.asarray(node)
+
+    walk(params, "")
+    return out
+
+
+def save_params_npz(path: str, variables: Dict) -> None:
+    np.savez(path, **_flatten(variables))
+
+
+def load_params_npz(path: str) -> Dict:
+    flat = np.load(path)
+    tree: Dict = {}
+    for key in flat.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return tree
+
+
+def _spec(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tree)
+
+
+def export_retrieval_bundle(
+    model,
+    variables: Dict,
+    out_dir: str,
+    *,
+    batch_images: int,
+    batch_texts: int,
+    max_tokens: int,
+    rerank_pairs: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    config_echo: Optional[Dict] = None,
+) -> Dict[str, str]:
+    """Export the three retrieval serving programs + weights to ``out_dir``.
+
+    ``platforms``: jax.export platform list (e.g. ["tpu"], ["cpu"]); None =
+    the current default backend. Shapes are static (the TPU contract): one
+    artifact per batch geometry — export again for other batch sizes.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = model.config
+    res = cfg.vision.image_res
+    rerank_pairs = rerank_pairs or batch_texts
+
+    pspec = _spec(variables)
+    images = jax.ShapeDtypeStruct((batch_images, res, res, 3), jnp.float32)
+    ids = jax.ShapeDtypeStruct((batch_texts, max_tokens), jnp.int32)
+    atts = jax.ShapeDtypeStruct((batch_texts, max_tokens), jnp.int32)
+
+    def enc_i(v, image):
+        return model.apply(v, image, method=model.encode_images)
+
+    def enc_t(v, ids, atts):
+        return model.apply(v, ids, atts, method=model.encode_texts)
+
+    kw = dict(platforms=list(platforms)) if platforms else {}
+    exp_i = jexport.export(jax.jit(enc_i), **kw)(pspec, images)
+    exp_t = jexport.export(jax.jit(enc_t), **kw)(pspec, ids, atts)
+
+    # rerank shapes come from the encoders' output avals
+    img_embeds_aval = exp_i.out_avals[0]
+    txt_embeds_aval = exp_t.out_avals[0]
+    ie = jax.ShapeDtypeStruct((rerank_pairs,) + img_embeds_aval.shape[1:],
+                              img_embeds_aval.dtype)
+    te = jax.ShapeDtypeStruct((rerank_pairs,) + txt_embeds_aval.shape[1:],
+                              txt_embeds_aval.dtype)
+    ta = jax.ShapeDtypeStruct((rerank_pairs, max_tokens), jnp.int32)
+
+    def score(v, image_embeds, text_embeds, text_atts):
+        return model.apply(v, image_embeds, text_embeds, text_atts,
+                           method=model.itm_score)
+
+    exp_s = jexport.export(jax.jit(score), **kw)(pspec, ie, te, ta)
+
+    artifacts = {}
+    for name, exp in (("encode_images", exp_i), ("encode_texts", exp_t),
+                      ("itm_score", exp_s)):
+        path = os.path.join(out_dir, f"{name}.jexp")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        artifacts[name] = path
+    save_params_npz(os.path.join(out_dir, "params.npz"), variables)
+
+    manifest = {
+        "artifacts": sorted(artifacts),
+        "platforms": list(exp_i.platforms),
+        "batch_images": batch_images,
+        "batch_texts": batch_texts,
+        "rerank_pairs": rerank_pairs,
+        "image_res": res,
+        "max_tokens": max_tokens,
+        "embed_dim": int(cfg.embed_dim),
+        "config": config_echo or {},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return artifacts
+
+
+@dataclasses.dataclass
+class ServingBundle:
+    """Rehydrated serving bundle: deserialized programs + loaded weights."""
+
+    manifest: Dict[str, Any]
+    params: Dict
+    _encode_images: Any
+    _encode_texts: Any
+    _itm_score: Any
+
+    def encode_images(self, images):
+        return self._encode_images.call(self.params, jnp.asarray(images))
+
+    def encode_texts(self, ids, atts):
+        return self._encode_texts.call(self.params, jnp.asarray(ids),
+                                       jnp.asarray(atts))
+
+    def itm_score(self, image_embeds, text_embeds, text_atts):
+        return self._itm_score.call(self.params, image_embeds, text_embeds,
+                                    jnp.asarray(text_atts))
+
+
+def load_bundle(bundle_dir: str) -> ServingBundle:
+    with open(os.path.join(bundle_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+
+    def load(name):
+        with open(os.path.join(bundle_dir, f"{name}.jexp"), "rb") as f:
+            return jexport.deserialize(bytearray(f.read()))
+
+    return ServingBundle(manifest=manifest, params=params,
+                         _encode_images=load("encode_images"),
+                         _encode_texts=load("encode_texts"),
+                         _itm_score=load("itm_score"))
