@@ -101,3 +101,40 @@ def test_export_weights_are_arguments_not_constants(tmp_path, rng):
                   for x in jax.tree_util.tree_leaves(variables))
     art = os.path.getsize(tmp_path / "encode_images.jexp")
     assert art < n_bytes / 2
+
+
+def test_sharded_export_multi_device(tmp_path, rng):
+    """Multi-chip serving: export with an 8-device data mesh (params
+    replicated, batches sharded), reload with a matching mesh, outputs match
+    the single-device model.apply on the global batch."""
+    from jax.sharding import Mesh
+
+    model, variables, image, ids, atts = _tiny_retrieval(rng)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    image8 = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    ids8 = jnp.concatenate([ids, ids], 0)
+    atts8 = jnp.concatenate([atts, atts], 0)
+
+    export_retrieval_bundle(model, variables, str(tmp_path), batch_images=8,
+                            batch_texts=8, max_tokens=8, rerank_pairs=8,
+                            platforms=["cpu"], mesh=mesh)
+    b = load_bundle(str(tmp_path), mesh=mesh)
+    assert b.manifest["nr_devices"] == 8
+
+    ie, fi = b.encode_images(image8)
+    ie0, fi0 = model.apply(variables, image8, method=model.encode_images)
+    np.testing.assert_allclose(np.asarray(ie), np.asarray(ie0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(fi0), atol=1e-5)
+    te, _ = b.encode_texts(ids8, atts8)
+    s = b.itm_score(ie, te, atts8)
+    s0 = model.apply(variables, ie0,
+                     model.apply(variables, ids8, atts8,
+                                 method=model.encode_texts)[0], atts8,
+                     method=model.itm_score)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), atol=1e-5)
+
+    # loading a multi-device bundle without a mesh fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="exported for 8 devices"):
+        load_bundle(str(tmp_path))

@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--rerank_pairs", type=int, default=0)
     ap.add_argument("--platform", default="",
                     help="export platform (tpu|cpu|...); default = current")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="export for N-device data-parallel serving "
+                         "(batch_* become GLOBAL batch sizes)")
     args = ap.parse_args()
     if args.selftest:
         sys.exit(selftest())
@@ -110,12 +113,19 @@ def main():
 
     from x2vlm_tpu.serving import export_retrieval_bundle
 
+    mesh = None
+    if args.mesh > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.array(jax.devices()[:args.mesh]).reshape(args.mesh),
+                    ("data",))
     arts = export_retrieval_bundle(
         model, variables, args.out,
         batch_images=args.batch_images, batch_texts=args.batch_texts,
         max_tokens=mt, rerank_pairs=args.rerank_pairs or None,
         platforms=[args.platform] if args.platform else None,
-        config_echo=dict(cfg))
+        mesh=mesh, config_echo=dict(cfg))
     print(f"exported {sorted(arts)} -> {args.out}")
 
 

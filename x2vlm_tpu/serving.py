@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import export as jexport
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["export_retrieval_bundle", "load_bundle", "ServingBundle",
            "save_params_npz", "load_params_npz"]
@@ -82,6 +83,7 @@ def export_retrieval_bundle(
     max_tokens: int,
     rerank_pairs: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh: Optional[Mesh] = None,
     config_echo: Optional[Dict] = None,
 ) -> Dict[str, str]:
     """Export the three retrieval serving programs + weights to ``out_dir``.
@@ -89,6 +91,11 @@ def export_retrieval_bundle(
     ``platforms``: jax.export platform list (e.g. ["tpu"], ["cpu"]); None =
     the current default backend. Shapes are static (the TPU contract): one
     artifact per batch geometry — export again for other batch sizes.
+
+    ``mesh``: a 1-axis ("data") device mesh for MULTI-CHIP serving — the
+    programs are exported with params replicated and batches sharded over
+    the axis (batch_* are then GLOBAL batch sizes and must divide the mesh);
+    `load_bundle(dir, mesh=...)` replays them across the same device count.
     """
     os.makedirs(out_dir, exist_ok=True)
     cfg = model.config
@@ -106,9 +113,19 @@ def export_retrieval_bundle(
     def enc_t(v, ids, atts):
         return model.apply(v, ids, atts, method=model.encode_texts)
 
+    def shardings(n_batch_args):
+        if mesh is None:
+            return {}
+        rep = NamedSharding(mesh, PartitionSpec())
+        dat = NamedSharding(mesh, PartitionSpec("data"))
+        params_sh = jax.tree_util.tree_map(lambda _: rep, pspec)
+        return {"in_shardings": (params_sh,) + (dat,) * n_batch_args,
+                "out_shardings": dat}
+
     kw = dict(platforms=list(platforms)) if platforms else {}
-    exp_i = jexport.export(jax.jit(enc_i), **kw)(pspec, images)
-    exp_t = jexport.export(jax.jit(enc_t), **kw)(pspec, ids, atts)
+    exp_i = jexport.export(jax.jit(enc_i, **shardings(1)), **kw)(pspec, images)
+    exp_t = jexport.export(jax.jit(enc_t, **shardings(2)), **kw)(pspec, ids,
+                                                                 atts)
 
     # rerank shapes come from the encoders' output avals
     img_embeds_aval = exp_i.out_avals[0]
@@ -123,7 +140,8 @@ def export_retrieval_bundle(
         return model.apply(v, image_embeds, text_embeds, text_atts,
                            method=model.itm_score)
 
-    exp_s = jexport.export(jax.jit(score), **kw)(pspec, ie, te, ta)
+    exp_s = jexport.export(jax.jit(score, **shardings(3)), **kw)(
+        pspec, ie, te, ta)
 
     artifacts = {}
     for name, exp in (("encode_images", exp_i), ("encode_texts", exp_t),
@@ -137,6 +155,7 @@ def export_retrieval_bundle(
     manifest = {
         "artifacts": sorted(artifacts),
         "platforms": list(exp_i.platforms),
+        "nr_devices": int(exp_i.nr_devices),
         "batch_images": batch_images,
         "batch_texts": batch_texts,
         "rerank_pairs": rerank_pairs,
@@ -152,7 +171,11 @@ def export_retrieval_bundle(
 
 @dataclasses.dataclass
 class ServingBundle:
-    """Rehydrated serving bundle: deserialized programs + loaded weights."""
+    """Rehydrated serving bundle: deserialized programs + loaded weights.
+
+    For multi-device bundles (manifest nr_devices > 1) a matching 1-axis
+    mesh must be supplied to :func:`load_bundle`; batch inputs are global
+    arrays, sharded over the mesh's axis on entry."""
 
     manifest: Dict[str, Any]
     params: Dict
@@ -161,25 +184,49 @@ class ServingBundle:
     _itm_score: Any
 
     def encode_images(self, images):
-        return self._encode_images.call(self.params, jnp.asarray(images))
+        return self._encode_images(self.params, jnp.asarray(images))
 
     def encode_texts(self, ids, atts):
-        return self._encode_texts.call(self.params, jnp.asarray(ids),
-                                       jnp.asarray(atts))
+        return self._encode_texts(self.params, jnp.asarray(ids),
+                                  jnp.asarray(atts))
 
     def itm_score(self, image_embeds, text_embeds, text_atts):
-        return self._itm_score.call(self.params, image_embeds, text_embeds,
-                                    jnp.asarray(text_atts))
+        return self._itm_score(self.params, image_embeds, text_embeds,
+                               jnp.asarray(text_atts))
 
 
-def load_bundle(bundle_dir: str) -> ServingBundle:
+def load_bundle(bundle_dir: str, mesh: Optional[Mesh] = None) -> ServingBundle:
     with open(os.path.join(bundle_dir, "manifest.json")) as f:
         manifest = json.load(f)
     params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+    n_dev = int(manifest.get("nr_devices", 1))
+    if n_dev > 1:
+        if mesh is None:
+            raise ValueError(
+                f"bundle was exported for {n_dev} devices — pass a 1-axis "
+                f"mesh of {n_dev} devices to load_bundle(mesh=...)")
+        if mesh.size != n_dev:
+            raise ValueError(f"mesh has {mesh.size} devices, bundle needs "
+                             f"{n_dev}")
+        params = jax.device_put(
+            params, NamedSharding(mesh, PartitionSpec()))
 
     def load(name):
         with open(os.path.join(bundle_dir, f"{name}.jexp"), "rb") as f:
-            return jexport.deserialize(bytearray(f.read()))
+            exp = jexport.deserialize(bytearray(f.read()))
+        if n_dev <= 1:
+            return exp.call
+        # multi-device replay: the exported program carries its shardings;
+        # wrap in a jit whose device context is the mesh (inputs are put
+        # onto it before the call)
+        dat = NamedSharding(mesh, PartitionSpec("data"))
+        jit_call = jax.jit(exp.call)
+
+        def call(p, *xs):
+            return jit_call(p, *(jax.device_put(jnp.asarray(x), dat)
+                                 for x in xs))
+
+        return call
 
     return ServingBundle(manifest=manifest, params=params,
                          _encode_images=load("encode_images"),
