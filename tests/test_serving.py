@@ -138,3 +138,60 @@ def test_sharded_export_multi_device(tmp_path, rng):
 
     with pytest.raises(ValueError, match="exported for 8 devices"):
         load_bundle(str(tmp_path))
+
+
+def test_captioning_bundle_matches_beam_search(tmp_path, rng):
+    """The exported one-program beam search reproduces
+    beam_search_generate_device exactly; length_penalty stays a serve-time
+    knob (host traceback)."""
+    from x2vlm_tpu.models.captioning import (
+        XVLMForMLMCaptioning, beam_search_generate_device,
+    )
+    from x2vlm_tpu.serving import (
+        export_captioning_bundle, load_captioning_bundle,
+    )
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32),
+        embed_dim=16)
+    model = XVLMForMLMCaptioning(cfg, cls_token_id=2, dtype=jnp.float32)
+    B, L, M = 2, 8, 3
+    tril = np.tril(np.ones((L, L), np.int32))
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32),
+        "text_ids_masked": jnp.asarray(rng.integers(1, 31, (B, L)), jnp.int32),
+        "text_atts_matrix": jnp.asarray(np.tile(tril, (B, 1, 1))),
+        "position_ids": jnp.asarray(np.tile(np.arange(L), (B, 1))),
+        "masked_pos": jnp.asarray(rng.integers(1, L, (B, M)), jnp.int32),
+        "masked_ids": jnp.asarray(rng.integers(1, 31, (B, M)), jnp.int32),
+        "masked_weight": jnp.asarray(np.ones((B, M), np.float32)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch)
+    image = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    kw = dict(prompt_ids=[2], mask_token_id=4, eos_token_id=3,
+              num_beams=2, min_length=2, max_length=6)
+
+    export_captioning_bundle(model, variables, str(tmp_path), batch=2,
+                             platforms=["cpu"], **kw)
+    b = load_captioning_bundle(str(tmp_path))
+    assert b.manifest["eos_token_id"] == 3 and b.manifest["batch"] == 2
+
+    want = beam_search_generate_device(model, variables, image, [2],
+                                       mask_token_id=4, eos_token_id=3,
+                                       num_beams=2, min_length=2,
+                                       max_length=6)
+    got = b.generate(image)
+    assert got == want
+    # length_penalty applies at serve time without re-export
+    got_lp = b.generate(image, length_penalty=2.0)
+    want_lp = beam_search_generate_device(model, variables, image, [2],
+                                          mask_token_id=4, eos_token_id=3,
+                                          num_beams=2, min_length=2,
+                                          max_length=6, length_penalty=2.0)
+    assert got_lp == want_lp

@@ -34,8 +34,9 @@ import numpy as np
 from jax import export as jexport
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["export_retrieval_bundle", "load_bundle", "ServingBundle",
-           "save_params_npz", "load_params_npz"]
+__all__ = ["export_retrieval_bundle", "export_captioning_bundle",
+           "load_bundle", "load_captioning_bundle", "ServingBundle",
+           "CaptioningBundle", "save_params_npz", "load_params_npz"]
 
 
 def _flatten(params: Dict) -> Dict[str, np.ndarray]:
@@ -167,6 +168,88 @@ def export_retrieval_bundle(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return artifacts
+
+
+def export_captioning_bundle(
+    model,
+    variables: Dict,
+    out_dir: str,
+    *,
+    batch: int,
+    prompt_ids: Sequence[int],
+    mask_token_id: int,
+    eos_token_id: int,
+    num_beams: int = 3,
+    min_length: int = 5,
+    max_length: int = 20,
+    forbid_duplicate_ngrams: bool = True,
+    ngram_size: int = 3,
+    platforms: Optional[Sequence[str]] = None,
+    config_echo: Optional[Dict] = None,
+) -> str:
+    """Export the FULL on-device UniLM beam search (encode + steps×[decode,
+    top-K² merge, EOS freeze, n-gram block, cache reorder] as one program;
+    models/captioning.beam_search_generate_device) to
+    ``out_dir/beam_search.jexp``. The cheap traceback stays host-side at
+    serve time (CaptioningBundle.generate), where length_penalty remains a
+    runtime knob."""
+    from x2vlm_tpu.models.captioning import _device_search_cache
+
+    os.makedirs(out_dir, exist_ok=True)
+    res = model.config.vision.image_res
+    run = _device_search_cache(
+        model, batch, num_beams, tuple(prompt_ids), int(mask_token_id),
+        int(eos_token_id), int(min_length), int(max_length),
+        bool(forbid_duplicate_ngrams), int(ngram_size))
+    pspec = _spec(variables)
+    images = jax.ShapeDtypeStruct((batch, res, res, 3), jnp.float32)
+    kw = dict(platforms=list(platforms)) if platforms else {}
+    exp = jexport.export(run, **kw)(pspec, images)
+    path = os.path.join(out_dir, "beam_search.jexp")
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    save_params_npz(os.path.join(out_dir, "params.npz"), variables)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "artifacts": ["beam_search"],
+            "platforms": list(exp.platforms),
+            "nr_devices": int(exp.nr_devices),
+            "batch": batch, "image_res": res,
+            "prompt_ids": [int(i) for i in prompt_ids],
+            "mask_token_id": int(mask_token_id),
+            "eos_token_id": int(eos_token_id),
+            "num_beams": num_beams, "min_length": min_length,
+            "max_length": max_length,
+            "config": config_echo or {},
+        }, f, indent=2)
+    return path
+
+
+@dataclasses.dataclass
+class CaptioningBundle:
+    manifest: Dict[str, Any]
+    params: Dict
+    _run: Any
+
+    def generate(self, images, length_penalty: float = 0.0):
+        """→ list of token-id sequences (caller detokenizes)."""
+        from x2vlm_tpu.models.captioning import _trace_back
+
+        ids_hist, ptr_hist, score_hist = self._run.call(
+            self.params, jnp.asarray(images))
+        return _trace_back(
+            self.manifest["batch"], list(np.asarray(ids_hist)),
+            list(np.asarray(ptr_hist)), list(np.asarray(score_hist)),
+            self.manifest["eos_token_id"], length_penalty)
+
+
+def load_captioning_bundle(bundle_dir: str) -> CaptioningBundle:
+    with open(os.path.join(bundle_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+    with open(os.path.join(bundle_dir, "beam_search.jexp"), "rb") as f:
+        run = jexport.deserialize(bytearray(f.read()))
+    return CaptioningBundle(manifest=manifest, params=params, _run=run)
 
 
 @dataclasses.dataclass
