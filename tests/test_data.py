@@ -194,3 +194,39 @@ def test_retrieval_eval_native_decode(tmp_path, tokenizer):
     assert native.shape == pil.shape == (2, 32, 32, 3)
     corr = np.corrcoef(native.ravel(), pil.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_prefetcher_preserves_order_and_bounds_queue():
+    """The per-stream background Prefetcher (run_pretrain wires one per
+    stream with depth = the block's num_workers) yields items in order,
+    exhausts cleanly, and never buffers more than `depth` ahead."""
+    import threading
+    import time as _time
+
+    from x2vlm_tpu.data import Prefetcher
+
+    produced = []
+
+    def slow_gen():
+        for i in range(8):
+            produced.append(i)
+            yield i
+
+    pf = Prefetcher(slow_gen(), depth=2)
+    _time.sleep(0.2)  # give the thread time to run ahead
+    # depth-2 queue + the one item the producer may hold: strictly bounded
+    assert len(produced) <= 4
+    assert list(pf) == list(range(8))
+    assert produced == list(range(8))
+
+    # exceptions in the producer propagate (not swallowed)
+    def bad_gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    pf2 = iter(Prefetcher(bad_gen(), depth=2))
+    assert next(pf2) == 1
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(pf2)

@@ -109,12 +109,17 @@ def iter_batches(sample_iter: Iterable[Dict[str, np.ndarray]], batch_size: int
 
 
 class Prefetcher:
-    """Background-thread prefetch queue around any batch iterator."""
+    """Background-thread prefetch queue around any batch iterator.
+
+    Producer exceptions are captured and re-raised in the CONSUMER — a
+    crashed stream must not masquerade as a clean end of data (the training
+    loop would silently stop mid-epoch)."""
 
     def __init__(self, it: Iterable, depth: int = 2):
         self.it = iter(it)
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -122,6 +127,8 @@ class Prefetcher:
         try:
             for x in self.it:
                 self.q.put(x)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            self._error = e
         finally:
             self.q.put(self._done)
 
@@ -129,5 +136,7 @@ class Prefetcher:
         while True:
             x = self.q.get()
             if x is self._done:
+                if self._error is not None:
+                    raise self._error
                 return
             yield x
