@@ -195,3 +195,45 @@ def test_captioning_bundle_matches_beam_search(tmp_path, rng):
                                           num_beams=2, min_length=2,
                                           max_length=6, length_penalty=2.0)
     assert got_lp == want_lp
+
+
+def test_vqa_bundle_matches_predict(tmp_path, rng):
+    from x2vlm_tpu.models.generation import XVLMForVQA
+    from x2vlm_tpu.serving import export_vqa_bundle, load_vqa_bundle
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32),
+        embed_dim=16)
+    model = XVLMForVQA(cfg, num_dec_layers=2, pad_token_id=0,
+                       dtype=jnp.float32)
+    B, Q, NA, AL = 2, 6, 5, 4
+    image = jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32)
+    q_ids = jnp.asarray(rng.integers(1, 31, (B, Q)), jnp.int32)
+    q_atts = jnp.ones((B, Q), jnp.int32)
+    ans_ids = jnp.asarray(rng.integers(1, 31, (NA, AL)), jnp.int32)
+    ans_atts = jnp.ones((NA, AL), jnp.int32)
+    train_batch = {"image": image, "question_ids": q_ids,
+                   "question_atts": q_atts, "answer_ids": ans_ids[:B],
+                   "answer_atts": ans_atts[:B],
+                   "answer_weights": jnp.ones((B,), jnp.float32),
+                   "answer_index": jnp.arange(B, dtype=jnp.int32)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train_batch)
+
+    export_vqa_bundle(model, variables, str(tmp_path), batch=B,
+                      question_len=Q, n_answers=NA, answer_len=AL, k_test=3,
+                      platforms=["cpu"])
+    b = load_vqa_bundle(str(tmp_path))
+    assert b.manifest["k_test"] == 3
+    topk, scores = b.rank(image, q_ids, q_atts, ans_ids, ans_atts)
+    batch_d = {"image": image, "question_ids": q_ids, "question_atts": q_atts,
+               "answer_ids": ans_ids, "answer_atts": ans_atts}
+    topk0, scores0 = model.apply(variables, batch_d, 3, method=model.predict)
+    np.testing.assert_array_equal(np.asarray(topk), np.asarray(topk0))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores0),
+                               atol=1e-5)

@@ -35,8 +35,9 @@ from jax import export as jexport
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["export_retrieval_bundle", "export_captioning_bundle",
-           "load_bundle", "load_captioning_bundle", "ServingBundle",
-           "CaptioningBundle", "save_params_npz", "load_params_npz"]
+           "export_vqa_bundle", "load_bundle", "load_captioning_bundle",
+           "load_vqa_bundle", "ServingBundle", "CaptioningBundle",
+           "VQABundle", "save_params_npz", "load_params_npz"]
 
 
 def _flatten(params: Dict) -> Dict[str, np.ndarray]:
@@ -223,6 +224,81 @@ def export_captioning_bundle(
             "config": config_echo or {},
         }, f, indent=2)
     return path
+
+
+def export_vqa_bundle(
+    model,
+    variables: Dict,
+    out_dir: str,
+    *,
+    batch: int,
+    question_len: int,
+    n_answers: int,
+    answer_len: int,
+    k_test: int = 128,
+    platforms: Optional[Sequence[str]] = None,
+    config_echo: Optional[Dict] = None,
+) -> str:
+    """Export the generate-as-rank VQA program (reference VQA protocol:
+    decoder scores the k_test ITM-shortlisted answers; tasks/vqa.py) as
+    ``out_dir/rank_answers.jexp``. The answer list is an ARGUMENT
+    (n_answers × answer_len token ids + atts), so one artifact serves any
+    answer vocabulary of that geometry."""
+    os.makedirs(out_dir, exist_ok=True)
+    res = model.config.vision.image_res
+    k = min(k_test, n_answers)
+
+    def rank(v, image, q_ids, q_atts, ans_ids, ans_atts):
+        batch_d = {"image": image, "question_ids": q_ids,
+                   "question_atts": q_atts, "answer_ids": ans_ids,
+                   "answer_atts": ans_atts}
+        return model.apply(v, batch_d, k, method=model.predict)
+
+    pspec = _spec(variables)
+    args = (pspec,
+            jax.ShapeDtypeStruct((batch, res, res, 3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, question_len), jnp.int32),
+            jax.ShapeDtypeStruct((batch, question_len), jnp.int32),
+            jax.ShapeDtypeStruct((n_answers, answer_len), jnp.int32),
+            jax.ShapeDtypeStruct((n_answers, answer_len), jnp.int32))
+    kw = dict(platforms=list(platforms)) if platforms else {}
+    exp = jexport.export(jax.jit(rank), **kw)(*args)
+    path = os.path.join(out_dir, "rank_answers.jexp")
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    save_params_npz(os.path.join(out_dir, "params.npz"), variables)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"artifacts": ["rank_answers"],
+                   "platforms": list(exp.platforms),
+                   "nr_devices": int(exp.nr_devices),
+                   "batch": batch, "image_res": res,
+                   "question_len": question_len, "n_answers": n_answers,
+                   "answer_len": answer_len, "k_test": k,
+                   "config": config_echo or {}}, f, indent=2)
+    return path
+
+
+@dataclasses.dataclass
+class VQABundle:
+    manifest: Dict[str, Any]
+    params: Dict
+    _rank: Any
+
+    def rank(self, image, q_ids, q_atts, answer_ids, answer_atts):
+        """→ (topk answer indices, topk scores); row 0 is the prediction."""
+        return self._rank.call(self.params, jnp.asarray(image),
+                               jnp.asarray(q_ids), jnp.asarray(q_atts),
+                               jnp.asarray(answer_ids),
+                               jnp.asarray(answer_atts))
+
+
+def load_vqa_bundle(bundle_dir: str) -> VQABundle:
+    with open(os.path.join(bundle_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+    with open(os.path.join(bundle_dir, "rank_answers.jexp"), "rb") as f:
+        rank = jexport.deserialize(bytearray(f.read()))
+    return VQABundle(manifest=manifest, params=params, _rank=rank)
 
 
 @dataclasses.dataclass
