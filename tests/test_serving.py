@@ -237,3 +237,50 @@ def test_vqa_bundle_matches_predict(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(topk), np.asarray(topk0))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(scores0),
                                atol=1e-5)
+
+
+def test_export_cli_all_tasks(tmp_path):
+    """tools/export_serving.py --task retrieval|captioning|vqa produce
+    loadable bundles from a tiny YAML config."""
+    import subprocess
+    import sys as _sys
+
+    import yaml as _yaml
+
+    tok_dir = tmp_path / "bert-tiny"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(
+        "[PAD] [UNK] [CLS] [SEP] [MASK] a b c d e dog cat runs the".split()))
+    (tok_dir / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "BertTokenizerFast", "do_lower_case": True}))
+    cfg = {
+        "image_res": 32,
+        "vision_config_inline": {"vision_width": 32, "patch_size": 16,
+                                 "num_hidden_layers": 2,
+                                 "num_attention_heads": 2},
+        "text_encoder": str(tok_dir),
+        "text_num_hidden_layers": 4,
+        "text_fusion_start_at": 2,
+        "text_config_inline": {"vocab_size": 14, "hidden_size": 32,
+                               "num_heads": 2, "intermediate_size": 64},
+        "embed_dim": 16, "max_tokens": 8, "answer_max_tokens": 4,
+        "num_dec_layers": 2, "max_length": 4, "min_length": 1,
+        "num_beams": 2,
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+    env = dict(os.environ)
+    for task, extra in (("retrieval", ["--batch_texts", "4"]),
+                        ("captioning", []),
+                        ("vqa", ["--n_answers", "5", "--k_test", "3"])):
+        out = tmp_path / f"bundle_{task}"
+        r = subprocess.run(
+            [_sys.executable, "tools/export_serving.py", "--task", task,
+             "--config", str(cfg_path), "--out", str(out),
+             "--batch_images", "2", "--platform", "cpu"] + extra,
+            capture_output=True, text=True, timeout=900,
+            env=dict(env, JAX_PLATFORMS="", PYTHONPATH=env.get(
+                "PYTHONPATH", "")))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (out / "manifest.json").exists()
+        assert (out / "params.npz").exists()

@@ -72,17 +72,22 @@ def selftest() -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--task", default="retrieval",
+                    choices=("retrieval", "captioning", "vqa"))
     ap.add_argument("--config")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--out")
     ap.add_argument("--batch_images", type=int, default=64)
     ap.add_argument("--batch_texts", type=int, default=256)
     ap.add_argument("--rerank_pairs", type=int, default=0)
+    ap.add_argument("--k_test", type=int, default=128, help="vqa rank depth")
+    ap.add_argument("--n_answers", type=int, default=3128,
+                    help="vqa answer-vocabulary rows (VQAv2 list = 3128)")
     ap.add_argument("--platform", default="",
                     help="export platform (tpu|cpu|...); default = current")
     ap.add_argument("--mesh", type=int, default=0,
                     help="export for N-device data-parallel serving "
-                         "(batch_* become GLOBAL batch sizes)")
+                         "(retrieval only; batch_* become GLOBAL batches)")
     args = ap.parse_args()
     if args.selftest:
         sys.exit(selftest())
@@ -92,24 +97,96 @@ def main():
 
     import jax
 
+    if args.platform:
+        # also RUN on the export platform: the axon (TPU-tunnel) plugin wins
+        # over env vars, and exporting a cpu artifact must not wait on the
+        # shared tunnel (see CLAUDE.md)
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
     from x2vlm_tpu.core.config import load_config
     from x2vlm_tpu.factory import build_model
     from x2vlm_tpu.run import load_initial_params
 
     cfg = load_config(args.config)
+    res = cfg["image_res"]
+    mt = cfg.get("max_tokens", 40)
+    platforms = [args.platform] if args.platform else None
+
+    if args.task == "captioning":
+        from x2vlm_tpu.data import build_tokenizer
+        from x2vlm_tpu.serving import export_captioning_bundle
+
+        tok = build_tokenizer(cfg["text_encoder"])
+        model, mcfg = build_model(cfg, "captioning")
+        prompt_ids = tok.convert_tokens_to_ids(
+            [tok.cls_token] + (tok.tokenize(cfg["prompt"])
+                               if cfg.get("prompt") else []))
+        L = cfg.get("max_length", 20) + len(prompt_ids) + 1
+        tril = jnp.tril(jnp.ones((L, L), jnp.int32))
+        example = {
+            "image": jnp.zeros((2, res, res, 3)),
+            "text_ids_masked": jnp.zeros((2, L), jnp.int32),
+            "text_atts_matrix": jnp.tile(tril, (2, 1, 1)),
+            "position_ids": jnp.tile(jnp.arange(L), (2, 1)),
+            "masked_pos": jnp.zeros((2, 3), jnp.int32),
+            "masked_ids": jnp.zeros((2, 3), jnp.int32),
+            "masked_weight": jnp.ones((2, 3), jnp.float32),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, example)
+        variables, _ = load_initial_params(
+            _ap.Namespace(checkpoint=args.checkpoint), cfg, model, variables)
+        path = export_captioning_bundle(
+            model, variables, args.out, batch=args.batch_images,
+            prompt_ids=prompt_ids, mask_token_id=tok.mask_token_id,
+            eos_token_id=tok.sep_token_id,
+            num_beams=cfg.get("num_beams", 3),
+            min_length=cfg.get("min_length", 5),
+            max_length=cfg.get("max_length", 20),
+            platforms=platforms, config_echo=dict(cfg))
+        print(f"exported beam_search -> {path}")
+        return
+
+    if args.task == "vqa":
+        from x2vlm_tpu.serving import export_vqa_bundle
+
+        model, mcfg = build_model(cfg, "vqa")
+        a_max = cfg.get("answer_max_tokens", 10)
+        example = {
+            "image": jnp.zeros((2, res, res, 3)),
+            "question_ids": jnp.zeros((2, mt), jnp.int32),
+            "question_atts": jnp.ones((2, mt), jnp.int32),
+            "answer_ids": jnp.zeros((2, a_max), jnp.int32),
+            "answer_atts": jnp.ones((2, a_max), jnp.int32),
+            "answer_weights": jnp.ones((2,), jnp.float32),
+            "answer_index": jnp.zeros((2,), jnp.int32),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, example)
+        variables, _ = load_initial_params(
+            _ap.Namespace(checkpoint=args.checkpoint), cfg, model, variables)
+        path = export_vqa_bundle(
+            model, variables, args.out, batch=args.batch_images,
+            question_len=mt, n_answers=args.n_answers, answer_len=a_max,
+            k_test=args.k_test, platforms=platforms, config_echo=dict(cfg))
+        print(f"exported rank_answers -> {path}")
+        return
+
     model, mcfg = build_model(cfg, "retrieval")
-    res, mt = cfg["image_res"], cfg.get("max_tokens", 40)
     example = {
-        "image": jax.numpy.zeros((2, res, res, 3)),
-        "text_ids": jax.numpy.zeros((2, mt), jax.numpy.int32),
-        "text_atts": jax.numpy.ones((2, mt), jax.numpy.int32),
-        "idx": jax.numpy.zeros((2,), jax.numpy.int32),
+        "image": jnp.zeros((2, res, res, 3)),
+        "text_ids": jnp.zeros((2, mt), jnp.int32),
+        "text_atts": jnp.ones((2, mt), jnp.int32),
+        "idx": jnp.zeros((2,), jnp.int32),
     }
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         example, rng=jax.random.PRNGKey(2))
-    fake_args = _ap.Namespace(checkpoint=args.checkpoint)
-    variables, _ = load_initial_params(fake_args, cfg, model, variables)
+    variables, _ = load_initial_params(
+        _ap.Namespace(checkpoint=args.checkpoint), cfg, model, variables)
 
     from x2vlm_tpu.serving import export_retrieval_bundle
 
@@ -124,8 +201,7 @@ def main():
         model, variables, args.out,
         batch_images=args.batch_images, batch_texts=args.batch_texts,
         max_tokens=mt, rerank_pairs=args.rerank_pairs or None,
-        platforms=[args.platform] if args.platform else None,
-        mesh=mesh, config_echo=dict(cfg))
+        platforms=platforms, mesh=mesh, config_echo=dict(cfg))
     print(f"exported {sorted(arts)} -> {args.out}")
 
 
