@@ -68,12 +68,14 @@ def test_clip_act_and_attention_dropout_plumbed():
     y_g = m_g.apply(params, x)
     assert not np.allclose(np.asarray(y_q), np.asarray(y_g))
 
-    # local_attn_depth > 0 is a documented deviation — refuse loudly
-    bad = dict(base)
-    bad["vision_config_inline"] = dict(base["vision_config_inline"],
-                                       local_attn_depth=4)
-    with pytest.raises(ValueError, match="local_attn_depth"):
-        vision_config_from_yaml(bad)
+    # local_attn_depth reaches the config; -1 (reference's off value) → 0
+    la = dict(base)
+    la["vision_config_inline"] = dict(base["vision_config_inline"],
+                                      local_attn_depth=4)
+    assert vision_config_from_yaml(la).local_attn_depth == 4
+    la["vision_config_inline"] = dict(base["vision_config_inline"],
+                                      local_attn_depth=-1)
+    assert vision_config_from_yaml(la).local_attn_depth == 0
 
 
 def test_optimizer_and_scheduler_selectors_validated():

@@ -239,9 +239,42 @@ def test_vqa_bundle_matches_predict(tmp_path, rng):
                                atol=1e-5)
 
 
+def test_grounding_bundle_matches_predict(tmp_path, rng):
+    from x2vlm_tpu.models.grounding import XVLMForGrounding
+    from x2vlm_tpu.serving import export_grounding_bundle, load_grounding_bundle
+
+    cfg = XVLMConfig(
+        vision=BEiT2Config(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                           num_heads=2),
+        text=BertConfig(vocab_size=31, hidden_size=32, num_layers=4,
+                        fusion_layer=2, num_heads=2, intermediate_size=64,
+                        encoder_width=32),
+        embed_dim=16)
+    model = XVLMForGrounding(cfg, dtype=jnp.float32)
+    B, T = 2, 6
+    image = jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 31, (B, T)), jnp.int32)
+    atts = jnp.ones((B, T), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {"image": image, "text_ids": ids, "text_atts": atts,
+         "target_bbox": jnp.full((B, 4), 0.5, jnp.float32)})
+
+    export_grounding_bundle(model, variables, str(tmp_path), batch=B,
+                            max_tokens=T, platforms=["cpu"])
+    b = load_grounding_bundle(str(tmp_path))
+    assert b.manifest["artifacts"] == ["predict_bbox"]
+    box = b.predict(image, ids, atts)
+    box0 = model.apply(variables, image, ids, atts, method=model.predict)
+    assert box.shape == (B, 4)
+    arr = np.asarray(box)
+    assert (arr >= 0).all() and (arr <= 1).all()  # sigmoid cxcywh
+    np.testing.assert_allclose(arr, np.asarray(box0), atol=1e-6)
+
+
 def test_export_cli_all_tasks(tmp_path):
-    """tools/export_serving.py --task retrieval|captioning|vqa produce
-    loadable bundles from a tiny YAML config."""
+    """tools/export_serving.py --task retrieval|captioning|vqa|grounding
+    produce loadable bundles from a tiny YAML config."""
     import subprocess
     import sys as _sys
 
@@ -272,7 +305,8 @@ def test_export_cli_all_tasks(tmp_path):
     env = dict(os.environ)
     for task, extra in (("retrieval", ["--batch_texts", "4"]),
                         ("captioning", []),
-                        ("vqa", ["--n_answers", "5", "--k_test", "3"])):
+                        ("vqa", ["--n_answers", "5", "--k_test", "3"]),
+                        ("grounding", [])):
         out = tmp_path / f"bundle_{task}"
         r = subprocess.run(
             [_sys.executable, "tools/export_serving.py", "--task", task,

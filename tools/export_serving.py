@@ -1,4 +1,5 @@
-"""Export a retrieval serving bundle (AOT StableHLO + weights).
+"""Export a serving bundle (AOT StableHLO + weights) for
+retrieval / captioning / vqa / grounding.
 
     python tools/export_serving.py --config configs/finetune/retrieval_flickr_base.yaml \
         --checkpoint ckpt.th --out bundle/ [--batch_images 64] [--batch_texts 256] \
@@ -73,7 +74,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--selftest", action="store_true")
     ap.add_argument("--task", default="retrieval",
-                    choices=("retrieval", "captioning", "vqa"))
+                    choices=("retrieval", "captioning", "vqa", "grounding"))
     ap.add_argument("--config")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--out")
@@ -173,6 +174,27 @@ def main():
             question_len=mt, n_answers=args.n_answers, answer_len=a_max,
             k_test=args.k_test, platforms=platforms, config_echo=dict(cfg))
         print(f"exported rank_answers -> {path}")
+        return
+
+    if args.task == "grounding":
+        from x2vlm_tpu.serving import export_grounding_bundle
+
+        model, mcfg = build_model(cfg, "grounding")
+        example = {
+            "image": jnp.zeros((2, res, res, 3)),
+            "text_ids": jnp.zeros((2, mt), jnp.int32),
+            "text_atts": jnp.ones((2, mt), jnp.int32),
+            "target_bbox": jnp.full((2, 4), 0.5, jnp.float32),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, example)
+        variables, _ = load_initial_params(
+            _ap.Namespace(checkpoint=args.checkpoint), cfg, model, variables)
+        path = export_grounding_bundle(
+            model, variables, args.out, batch=args.batch_images,
+            max_tokens=mt, platforms=platforms, config_echo=dict(cfg))
+        print(f"exported predict_bbox -> {path}")
         return
 
     model, mcfg = build_model(cfg, "retrieval")

@@ -218,7 +218,8 @@ VISION_JSON = {
     "intermediate_size": "factory.vision_config_from_yaml (clip)",
     "hidden_act": "factory → CLIPViTConfig.act",
     "attention_dropout": "factory → CLIPViTConfig.attn_dropout_rate",
-    "local_attn_depth": "factory (validated ≤ 0; README deviations)",
+    "local_attn_depth": "factory → CLIPViTConfig (last-k region-masked "
+                        "attention inside the tower)",
     "embed_dim": "factory (swin)",
     "depths": "factory (swin)",
     "num_heads": "factory (swin)",

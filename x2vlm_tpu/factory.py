@@ -44,13 +44,6 @@ def vision_config_from_yaml(config: Dict) -> Any:
         raise ValueError(f"vision switches are mutually exclusive: {switches}")
 
     if config.get("use_clip_vit", False):
-        # local_attn_depth (last-k region-masked attention,
-        # clip_vit.py:252-335) is intentionally absent — config-dead in the
-        # reference (every shipped config sets -1/0); fail loudly if enabled
-        if vc.get("local_attn_depth", 0) > 0:
-            raise ValueError("clip local_attn_depth > 0 is not implemented "
-                             "(config-dead in the reference; see README "
-                             "deviations)")
         return CLIPViTConfig(
             image_res=image_res,
             patch_size=vc.get("patch_size", 16),
@@ -60,6 +53,8 @@ def vision_config_from_yaml(config: Dict) -> Any:
             intermediate_size=vc.get("intermediate_size", 3072),
             attn_dropout_rate=vc.get("attention_dropout", 0.0),
             act=vc.get("hidden_act", "quick_gelu"),
+            # -1 and 0 both mean off (reference configs ship either)
+            local_attn_depth=max(0, vc.get("local_attn_depth", 0)),
         )
     if config.get("use_swin", False):
         out = SwinConfig(

@@ -3,10 +3,15 @@
 Pre-LN ViT: bias-free conv patchify, learnable class embedding, learned
 absolute position embeddings, pre-LN blocks with QuickGELU, pre- and
 post-LayerNorm (eps 1e-5). Output (B, S+1, C), token 0 = CLS (unlike BEiT-2's
-mean-pool token). The deprecated ``local_attn_depth`` region path is
-intentionally absent — region handling is unified at the composition level
-(grouped_image_embeds), which the reference's BEiT-2 default also uses.
-"""
+mean-pool token).
+
+``local_attn_depth > 0`` enables the region path inside the tower (reference
+clip_vit.py:252-335): the last k layers run on [gathered region rows ‖ full
+rows] with a per-row *key* mask (region patches only for the gathered rows,
+all-ones for the originals), so region CLS features attend only inside their
+region. With ``local_attn_depth <= 0`` (every shipped reference config) the
+tower takes no region arguments and region handling stays at the composition
+level (grouped_image_embeds masked avgpool)."""
 
 from __future__ import annotations
 
@@ -44,6 +49,9 @@ class CLIPViTConfig:
     attn_dropout_rate: float = 0.0  # vision JSON `attention_dropout`
     act: str = "quick_gelu"         # vision JSON `hidden_act` (ACT2FN lookup,
                                     # reference clip_vit.py:176-178)
+    # region path: the last k layers attend with per-row key masks on
+    # [region ‖ full] rows (reference clip_vit.py:308-322); <= 0 disables
+    local_attn_depth: int = 0
     ln_eps: float = 1e-5
     remat: bool = False        # gradient checkpointing per block
     remat_policy: Optional[str] = None  # None/"full" | "dots" | "dots_saveable"
@@ -62,7 +70,7 @@ class CLIPBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, key_mask=None, deterministic: bool = True):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                                        param_dtype=jnp.float32, name=name)
@@ -70,7 +78,8 @@ class CLIPBlock(nn.Module):
         h = MultiHeadAttention(num_heads=cfg.num_heads,
                                attn_dropout_rate=cfg.attn_dropout_rate,
                                dtype=self.dtype, name="attn")(
-                                   h, deterministic=deterministic)
+                                   h, key_mask=key_mask,
+                                   deterministic=deterministic)
         x = x + h
         h = ln("layer_norm2")(x.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
@@ -86,8 +95,23 @@ class CLIPViT(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, pixels, deterministic: bool = True):
+    def __call__(self, pixels, deterministic: bool = True,
+                 idx_to_group_img=None, image_atts=None):
+        """Plain: (B, H, W, 3) → (B, S+1, C).
+
+        Region mode (requires ``local_attn_depth > 0``; reference
+        clip_vit.py:304-335): also pass ``idx_to_group_img`` (B_r,) int — the
+        image each region row comes from — and ``image_atts`` (B_r, S+1)
+        region key masks (position 0 = CLS, always 1). The first
+        ``depth - local_attn_depth`` layers run on the B images; region rows
+        are then gathered, concatenated with the full rows, and the last k
+        layers attend with key masks [image_atts ‖ ones]. Returns
+        (region (B_r, S+1, C), full (B, S+1, C)), both post-LayerNormed."""
         cfg = self.config
+        grouped = idx_to_group_img is not None
+        if grouped and cfg.local_attn_depth <= 0:
+            raise ValueError("region arguments require local_attn_depth > 0; "
+                             "use the composition-level grouped path instead")
         B = pixels.shape[0]
         x = PatchEmbed(cfg.embed_dim, cfg.patch_size, use_bias=False,
                        dtype=self.dtype, name="patch_embed")(pixels)
@@ -103,13 +127,35 @@ class CLIPViT(nn.Module):
                          param_dtype=jnp.float32, name="pre_layernorm")(
                              x.astype(jnp.float32)).astype(self.dtype)
         block_cls = nn.remat(
-            CLIPBlock, static_argnums=(2,),
+            CLIPBlock, static_argnums=(3,),
             policy=checkpoint_policy(cfg.remat_policy),
         ) if cfg.remat else CLIPBlock
+        local_from = (cfg.depth - cfg.local_attn_depth
+                      if cfg.local_attn_depth > 0 else cfg.depth)
+        key_mask = None
         for i in range(cfg.depth):
+            if grouped and i == local_from:
+                # gather region rows from their source images, run the last
+                # k layers on [region ‖ full] with per-row key masks
+                # (reference clip_vit.py:311-317; gather is cross-batch →
+                # all-gather once, take shard-locally, re-pin to batch)
+                from x2vlm_tpu.core import mesh as mesh_lib
+
+                region = mesh_lib.constrain_batch(jnp.take(
+                    mesh_lib.constrain_replicated(x), idx_to_group_img,
+                    axis=0))
+                x = jnp.concatenate([region, x], axis=0)
+                key_mask = jnp.concatenate(
+                    [image_atts.astype(jnp.int32),
+                     jnp.ones((B, x.shape[1]), jnp.int32)], axis=0)
+            mask_i = key_mask if (grouped and i >= local_from) else None
             x = block_cls(cfg, dtype=self.dtype, name=f"block_{i}")(
-                x, deterministic)
+                x, mask_i, deterministic)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="post_layernorm")(
                              x.astype(jnp.float32))
-        return x.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if grouped:
+            n_region = idx_to_group_img.shape[0]
+            return x[:n_region], x[n_region:]
+        return x

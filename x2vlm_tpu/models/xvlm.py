@@ -197,6 +197,21 @@ class XVLMBase(nn.Module):
         if image.ndim == 5:
             assert idx_to_group_img is None
             return self.get_frame_embeds(image, deterministic=deterministic)
+        if (idx_to_group_img is not None and image_atts is not None
+                and getattr(self.config.vision, "local_attn_depth", 0) > 0):
+            # CLIP local-attention region path: the tower itself runs the
+            # last k layers key-masked on [region ‖ full] rows (reference
+            # clip_vit.py:304-335); full rows are gathered out to the region
+            # batch for bbox prediction (reference xvlm.py:691-696)
+            from x2vlm_tpu.core import mesh as mesh_lib
+
+            region, full_imgs = self.vision_encoder(
+                image, deterministic=deterministic,
+                idx_to_group_img=idx_to_group_img, image_atts=image_atts)
+            full = mesh_lib.constrain_batch(jnp.take(
+                mesh_lib.constrain_replicated(full_imgs), idx_to_group_img,
+                axis=0))
+            return region, image_atts, full
         embeds = self.vision_encoder(image, deterministic=deterministic)
         if idx_to_group_img is None:
             atts = jnp.ones(embeds.shape[:2], jnp.int32)

@@ -35,9 +35,11 @@ from jax import export as jexport
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["export_retrieval_bundle", "export_captioning_bundle",
-           "export_vqa_bundle", "load_bundle", "load_captioning_bundle",
-           "load_vqa_bundle", "ServingBundle", "CaptioningBundle",
-           "VQABundle", "save_params_npz", "load_params_npz"]
+           "export_vqa_bundle", "export_grounding_bundle", "load_bundle",
+           "load_captioning_bundle", "load_vqa_bundle",
+           "load_grounding_bundle", "ServingBundle", "CaptioningBundle",
+           "VQABundle", "GroundingBundle", "save_params_npz",
+           "load_params_npz"]
 
 
 def _flatten(params: Dict) -> Dict[str, np.ndarray]:
@@ -299,6 +301,69 @@ def load_vqa_bundle(bundle_dir: str) -> VQABundle:
     with open(os.path.join(bundle_dir, "rank_answers.jexp"), "rb") as f:
         rank = jexport.deserialize(bytearray(f.read()))
     return VQABundle(manifest=manifest, params=params, _rank=rank)
+
+
+def export_grounding_bundle(
+    model,
+    variables: Dict,
+    out_dir: str,
+    *,
+    batch: int,
+    max_tokens: int,
+    platforms: Optional[Sequence[str]] = None,
+    config_echo: Optional[Dict] = None,
+) -> str:
+    """Export the visual-grounding predictor (image + referring expression →
+    sigmoid cxcywh box in [0,1]; reference model_grounding.py:18-30) as
+    ``out_dir/predict_bbox.jexp``."""
+    os.makedirs(out_dir, exist_ok=True)
+    res = model.config.vision.image_res
+
+    def predict(v, image, text_ids, text_atts):
+        return model.apply(v, image, text_ids, text_atts,
+                           method=model.predict)
+
+    pspec = _spec(variables)
+    args = (pspec,
+            jax.ShapeDtypeStruct((batch, res, res, 3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, max_tokens), jnp.int32),
+            jax.ShapeDtypeStruct((batch, max_tokens), jnp.int32))
+    kw = dict(platforms=list(platforms)) if platforms else {}
+    exp = jexport.export(jax.jit(predict), **kw)(*args)
+    path = os.path.join(out_dir, "predict_bbox.jexp")
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    save_params_npz(os.path.join(out_dir, "params.npz"), variables)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"artifacts": ["predict_bbox"],
+                   "platforms": list(exp.platforms),
+                   "nr_devices": int(exp.nr_devices),
+                   "batch": batch, "image_res": res,
+                   "max_tokens": max_tokens,
+                   "config": config_echo or {}}, f, indent=2)
+    return path
+
+
+@dataclasses.dataclass
+class GroundingBundle:
+    manifest: Dict[str, Any]
+    params: Dict
+    _predict: Any
+
+    def predict(self, image, text_ids, text_atts):
+        """→ (B, 4) cxcywh boxes, normalized to [0, 1]."""
+        return self._predict.call(self.params, jnp.asarray(image),
+                                  jnp.asarray(text_ids),
+                                  jnp.asarray(text_atts))
+
+
+def load_grounding_bundle(bundle_dir: str) -> GroundingBundle:
+    with open(os.path.join(bundle_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+    with open(os.path.join(bundle_dir, "predict_bbox.jexp"), "rb") as f:
+        predict = jexport.deserialize(bytearray(f.read()))
+    return GroundingBundle(manifest=manifest, params=params, _predict=predict)
 
 
 @dataclasses.dataclass
