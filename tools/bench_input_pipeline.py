@@ -139,18 +139,31 @@ def main():
     pre = TextPreprocessor(tok, max_tokens=40, max_masks=12,
                            rng=random.Random(0))
 
-    def stream_batches(as_float):
+    def make_transform(kind):
+        if kind == "native":
+            from x2vlm_tpu.data.native import NativeTrainTransform
+
+            return NativeTrainTransform(args.res, rng=r)
+        return T.pretrain_transform(args.res, rng=r,
+                                    as_float=(kind == "float"))
+
+    def stream_batches(kind):
         reader = DistLineReader([shard], shuffle=False, repeat=False)
-        s = ImageTextStream(reader, pre, T.pretrain_transform(
-            args.res, rng=r, as_float=as_float))
+        s = ImageTextStream(reader, pre, make_transform(kind))
         n = 0
         for _ in iter_batches(iter(s), args.batch):
             n += 1
         return n
 
-    for as_float, key in ((True, "e2e_feed_float"), (False, "e2e_feed")):
+    variants = [("float", "e2e_feed_float"), ("uint8", "e2e_feed_pil")]
+    try:
+        make_transform("native")
+        variants.append(("native", "e2e_feed"))
+    except Exception:
+        variants[-1] = ("uint8", "e2e_feed")  # PIL uint8 is the prod path
+    for kind, key in variants:
         t0 = time.perf_counter()
-        nb = stream_batches(as_float)
+        nb = stream_batches(kind)
         el = time.perf_counter() - t0
         out[key] = nb * args.batch / el
 
@@ -158,8 +171,7 @@ def main():
     # the GIL exactly like a jax dispatch wait does)
     def overlapped():
         reader = DistLineReader([shard], shuffle=False, repeat=True)
-        s = ImageTextStream(reader, pre, T.pretrain_transform(
-            args.res, rng=r, as_float=False))
+        s = ImageTextStream(reader, pre, make_transform(variants[-1][0]))
         pf = iter(Prefetcher(iter_batches(iter(s), args.batch), depth=2))
         n_steps = max(2, args.n // args.batch)
         t0 = time.perf_counter()

@@ -118,6 +118,8 @@ TOP_LEVEL = {
     "schedular": "run.make_optimizer block (sic, reference spelling)",
     "accelerator": "run.make_optimizer + factory.model_dtype block",
     "flat_optimizer": "run.make_optimizer (fused flat AdamW override)",
+    "native_aug": "run_pretrain image_transform (C++ decode+augment; "
+                  "auto|true|false)",
     "large_lr_for_dec": "run (decoder subtree → lr_mult group)",
     "ckpt_frequent": "run_pretrain (epoch-boundary save cadence)",
     "ckpt_frequent_step": "run_pretrain (step save cadence)",

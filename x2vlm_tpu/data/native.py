@@ -16,7 +16,8 @@ import numpy as np
 
 from x2vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 
-__all__ = ["NativeDecoder", "load_dataplane", "native_available"]
+__all__ = ["NativeDecoder", "NativeTrainTransform", "load_dataplane",
+           "native_available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -43,12 +44,22 @@ def load_dataplane() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
+    src = os.path.join(_NATIVE_DIR, "dataplane.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        _bind(lib)
+    except (OSError, AttributeError):  # unloadable or stale-symbol .so
         return None
+    _LIB = lib
+    return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     for name in ("dp_decode_batch_b64", "dp_decode_batch_raw"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
@@ -61,8 +72,34 @@ def load_dataplane() -> Optional[ctypes.CDLL]:
     lib.dp_b64_decode.restype = ctypes.c_int64
     lib.dp_b64_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                   ctypes.POINTER(ctypes.c_uint8)]
-    _LIB = lib
-    return _LIB
+    # train path (decode → RandomResizedCrop → hflip → RandAugment → uint8)
+    for name in ("dp_pretrain_batch_raw", "dp_pretrain_batch_b64"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+    lib.dp_crop_resize_u8.restype = ctypes.c_int
+    lib.dp_crop_resize_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.dp_aug_apply.restype = ctypes.c_int
+    lib.dp_aug_apply.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.POINTER(ctypes.c_uint8)]
+    lib.dp_sample_params.restype = ctypes.c_int
+    lib.dp_sample_params.argtypes = [
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
 
 
 def native_available() -> bool:
@@ -112,3 +149,73 @@ class NativeDecoder:
         np.cumsum([len(e) for e in items], out=offsets[1:])
         blob = b"".join(items)
         return self._call(self.lib.dp_decode_batch_raw, blob, offsets, len(items))
+
+
+# op ids mirror transforms.DEFAULT_AUGS order (dataplane.cpp apply_aug_op)
+AUG_OP_IDS = {"Identity": 0, "AutoContrast": 1, "Equalize": 2,
+              "Brightness": 3, "Sharpness": 4, "ShearX": 5, "ShearY": 6,
+              "TranslateX": 7, "TranslateY": 8, "Rotate": 9}
+
+
+class NativeTrainTransform:
+    """The full pretrain image transform in one C++ pass: decode →
+    RandomResizedCrop(scale, bicubic) → hflip(0.5) → RandAugment(n, m) →
+    uint8 (res, res, 3). Same op set and sampling algorithm as
+    ``transforms.pretrain_transform`` (PIL), with per-image splitmix64
+    parameter streams seeded from ``rng``; pixel ops match PIL semantics
+    (tests/test_native_train_path.py pins each op against PIL).
+
+    ``wants_bytes = True`` signals streams to pass raw encoded bytes instead
+    of a decoded PIL image (pretrain.ImageTextStream fast path)."""
+
+    wants_bytes = True
+
+    def __init__(self, image_res: int, scale=(0.2, 1.0), n: int = 2,
+                 m: int = 7, hflip_prob: float = 0.5,
+                 augs: Optional[Sequence[str]] = None, rng=None,
+                 num_threads: int = 1):
+        import random as _random
+
+        from x2vlm_tpu.data.transforms import DEFAULT_AUGS
+
+        self.lib = load_dataplane()
+        if self.lib is None:
+            raise RuntimeError("native dataplane unavailable (g++/libjpeg?)")
+        self.res = image_res
+        self.scale = scale
+        self.n = n
+        self.m = m
+        self.hflip_prob = hflip_prob
+        self.rng = rng or _random.Random()
+        self.num_threads = num_threads
+        ops = [AUG_OP_IDS[a] for a in (augs or DEFAULT_AUGS)]
+        self.cand = np.asarray(ops, np.int32)
+
+    def transform_batch(self, items: Sequence[bytes], b64: bool = False):
+        """raw (or base64) encoded images → ((N, res, res, 3) uint8, ok)."""
+        n = len(items)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(e) for e in items], out=offsets[1:])
+        blob = b"".join(items)
+        seeds = np.asarray([self.rng.getrandbits(64) for _ in range(n)],
+                           np.uint64)
+        out = np.empty((n, self.res, self.res, 3), np.uint8)
+        status = np.empty(n, np.uint8)
+        fn = (self.lib.dp_pretrain_batch_b64 if b64
+              else self.lib.dp_pretrain_batch_raw)
+        fn(blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+           n, self.res,
+           seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+           float(self.scale[0]), float(self.scale[1]), float(self.hflip_prob),
+           self.cand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           len(self.cand), self.n, float(self.m),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           self.num_threads)
+        return out, status.astype(bool)
+
+    def __call__(self, raw: bytes) -> np.ndarray:
+        out, ok = self.transform_batch([raw])
+        if not ok[0]:
+            raise ValueError("broken image (native decode failed)")
+        return out[0]

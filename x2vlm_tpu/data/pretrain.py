@@ -37,6 +37,23 @@ def _open_image(ann: dict, image_key: str, is_rpath: bool) -> Image.Image:
     return Image.open(io.BytesIO(b64decode(ann[image_key]))).convert("RGB")
 
 
+def _read_image_bytes(ann: dict, image_key: str, is_rpath: bool) -> bytes:
+    """Raw encoded bytes for transforms with ``wants_bytes`` (the native
+    decode+augment path skips the PIL round-trip entirely)."""
+    if not is_rpath:
+        return b64decode(ann[image_key])
+    path = ann[image_key]
+    from x2vlm_tpu.data.imageio import is_remote
+
+    if is_remote(path):
+        from x2vlm_tpu.core.io import hopen
+
+        with hopen(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def _choose_caption(caption, rng) -> str:
     if isinstance(caption, list):
         return rng.choice(caption)
@@ -66,11 +83,18 @@ class ImageTextStream(_StreamBase):
         self.is_image_rpath = is_image_rpath
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        wants_bytes = getattr(self.transform, "wants_bytes", False)
         for ann in self.reader.iter_json():
             try:
-                img = _open_image(ann, self.image_key, self.is_image_rpath)
-                image = np.asarray(self.transform(img))  # f32 or uint8 (on-
-                                                         # device normalize)
+                if wants_bytes:  # native decode+augment (no PIL round-trip)
+                    image = self.transform(_read_image_bytes(
+                        ann, self.image_key, self.is_image_rpath))
+                else:
+                    img = _open_image(ann, self.image_key,
+                                      self.is_image_rpath)
+                    image = np.asarray(self.transform(img))  # f32 or uint8
+                                                             # (on-device
+                                                             # normalize)
                 caption = _choose_caption(ann[self.caption_key], self.rng)
                 ids, atts, ids_masked, pos, labels = self.text_pre(
                     caption, with_masking=True)

@@ -869,6 +869,21 @@ def run_pretrain(args, cfg, mesh):
         readers[name] = reader
         return reader
 
+    def image_transform():
+        """Native one-pass decode+augment when available (3x the one-core
+        feed rate, tools/bench_input_pipeline.py); `native_aug: false`
+        forces the PIL path, true requires the native lib."""
+        want = cfg.get("native_aug", "auto")
+        if want in (True, "auto"):
+            try:
+                from x2vlm_tpu.data.native import NativeTrainTransform
+
+                return NativeTrainTransform(cfg["image_res"])
+            except RuntimeError:
+                if want is True:
+                    raise
+        return T.pretrain_transform(cfg["image_res"], as_float=False)
+
     def image_stream_for(name, paths, icfg):
         """Image-text batches; multilingual captions when `languages` is
         configured (CCLM, reference pretrain_dataset_multilingual.py:174-203)."""
@@ -881,8 +896,7 @@ def run_pretrain(args, cfg, mesh):
                 reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False),
                 languages=icfg["languages"], **kw)
         else:
-            stream = ImageTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False), **kw)
+            stream = ImageTextStream(reader, pre, image_transform(), **kw)
 
         def batches():
             yield from iter_batches(iter(stream), icfg.get("batch_size", 128))
