@@ -326,3 +326,51 @@ def test_stream_uses_bytes_fast_path(rng, tmp_path):
     for s in samples:
         assert s["image"].shape == (32, 32, 3)
         assert s["image"].dtype == np.uint8
+
+
+def test_stream_chunking_is_invisible(rng, tmp_path):
+    """Chunked native iteration (C++ pool) yields bit-identical samples to
+    per-sample calls for the same transform seed stream, and a broken image
+    mid-chunk only bumps the broken counter."""
+    import base64 as b64
+    import json
+
+    from transformers import BertTokenizerFast
+
+    from x2vlm_tpu.data.pretrain import ImageTextStream
+    from x2vlm_tpu.data.streaming import DistLineReader
+    from x2vlm_tpu.data.tokenization import TextPreprocessor
+
+    path = tmp_path / "data.jsonl"
+    rows = []
+    for i in range(7):
+        enc = (b"broken!" if i == 3
+               else _jpeg(_img(np.random.default_rng(i), 50, 60)))
+        rows.append({"binary": b64.b64encode(enc).decode(),
+                     "desc": "a tiny test image"})
+    with open(path, "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] a tiny test image".split()
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"),
+                            do_lower_case=True)
+
+    def run(num_threads):
+        pre = TextPreprocessor(tok, max_tokens=12, max_masks=3,
+                               rng=random.Random(0))
+        reader = DistLineReader([str(path)], rank=0, world_size=1,
+                                repeat=False)
+        tf = NativeTrainTransform(32, rng=random.Random(5),
+                                  num_threads=num_threads)
+        s = ImageTextStream(reader, pre, tf, image_key="binary",
+                            caption_key="desc")
+        return list(s), s.broken
+
+    a, broken_a = run(1)   # chunk = 4 → flushes of 4 and 3
+    b, broken_b = run(4)   # chunk = 16 → one flush of 7
+    assert broken_a == broken_b == 1
+    assert len(a) == len(b) == 6
+    for sa, sb in zip(a, b):
+        np.testing.assert_array_equal(sa["image"], sb["image"])
+        np.testing.assert_array_equal(sa["text_ids_masked"],
+                                      sb["text_ids_masked"])

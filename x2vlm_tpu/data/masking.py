@@ -42,7 +42,11 @@ class TextMaskingGenerator:
         self.mask_whole_word = mask_whole_word
         self.use_roberta = use_roberta
         self.mask_token = tokenizer.mask_token
-        self.vocab = list(tokenizer.get_vocab().keys())
+        # sorted by id: get_vocab() iteration order is hash-map order in the
+        # fast (Rust) tokenizers and differs across instances — the 10%
+        # random-replacement draw must be reproducible for a given seed
+        self.vocab = [t for t, _ in sorted(tokenizer.get_vocab().items(),
+                                           key=lambda kv: kv[1])]
         self.rng = rng or random.Random()
 
     def _is_continuation(self, token: str) -> bool:

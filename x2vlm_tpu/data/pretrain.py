@@ -83,26 +83,58 @@ class ImageTextStream(_StreamBase):
         self.is_image_rpath = is_image_rpath
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        wants_bytes = getattr(self.transform, "wants_bytes", False)
+        if getattr(self.transform, "wants_bytes", False):
+            # native decode+augment: no PIL round-trip; chunked so the C++
+            # thread pool (GIL-free) overlaps decode across samples. Seeds
+            # are drawn per image in stream order, so the output is
+            # bit-identical for any chunk size / thread count.
+            yield from self._iter_native()
+            return
         for ann in self.reader.iter_json():
             try:
-                if wants_bytes:  # native decode+augment (no PIL round-trip)
-                    image = self.transform(_read_image_bytes(
-                        ann, self.image_key, self.is_image_rpath))
-                else:
-                    img = _open_image(ann, self.image_key,
-                                      self.is_image_rpath)
-                    image = np.asarray(self.transform(img))  # f32 or uint8
-                                                             # (on-device
-                                                             # normalize)
-                caption = _choose_caption(ann[self.caption_key], self.rng)
-                ids, atts, ids_masked, pos, labels = self.text_pre(
-                    caption, with_masking=True)
-                yield {"image": image, "text_ids": ids, "text_atts": atts,
-                       "text_ids_masked": ids_masked, "masked_pos": pos,
-                       "masked_ids": labels}
+                img = _open_image(ann, self.image_key, self.is_image_rpath)
+                image = np.asarray(self.transform(img))  # f32 or uint8 (on-
+                                                         # device normalize)
+                yield self._text_sample(ann, image)
             except Exception:
                 self.broken += 1
+
+    def _text_sample(self, ann: dict, image: np.ndarray) -> Dict:
+        caption = _choose_caption(ann[self.caption_key], self.rng)
+        ids, atts, ids_masked, pos, labels = self.text_pre(
+            caption, with_masking=True)
+        return {"image": image, "text_ids": ids, "text_atts": atts,
+                "text_ids_masked": ids_masked, "masked_pos": pos,
+                "masked_ids": labels}
+
+    def _iter_native(self) -> Iterator[Dict[str, np.ndarray]]:
+        chunk = max(1, 4 * getattr(self.transform, "num_threads", 1))
+        pending: List = []
+
+        def flush():
+            images, ok = self.transform.transform_batch(
+                [raw for raw, _ in pending])
+            for i, (_, ann) in enumerate(pending):
+                if not ok[i]:
+                    self.broken += 1
+                    continue
+                try:
+                    yield self._text_sample(ann, images[i])
+                except Exception:
+                    self.broken += 1
+            pending.clear()
+
+        for ann in self.reader.iter_json():
+            try:
+                pending.append((_read_image_bytes(
+                    ann, self.image_key, self.is_image_rpath), ann))
+            except Exception:
+                self.broken += 1
+                continue
+            if len(pending) >= chunk:
+                yield from flush()
+        if pending:
+            yield from flush()
 
 
 class TextStream(_StreamBase):

@@ -869,16 +869,20 @@ def run_pretrain(args, cfg, mesh):
         readers[name] = reader
         return reader
 
-    def image_transform():
-        """Native one-pass decode+augment when available (3x the one-core
-        feed rate, tools/bench_input_pipeline.py); `native_aug: false`
-        forces the PIL path, true requires the native lib."""
+    def image_transform(icfg):
+        """Native one-pass decode+augment when available (1.5x the one-core
+        feed rate, tools/bench_input_pipeline.py; GIL-free C++ pool sized by
+        the block's num_workers — the reference's DataLoader-worker analog);
+        `native_aug: false` forces the PIL path, true requires the lib."""
         want = cfg.get("native_aug", "auto")
         if want in (True, "auto"):
             try:
                 from x2vlm_tpu.data.native import NativeTrainTransform
 
-                return NativeTrainTransform(cfg["image_res"])
+                threads = min(int(icfg.get("num_workers", 2)),
+                              os.cpu_count() or 1)
+                return NativeTrainTransform(cfg["image_res"],
+                                            num_threads=max(1, threads))
             except RuntimeError:
                 if want is True:
                     raise
@@ -896,7 +900,7 @@ def run_pretrain(args, cfg, mesh):
                 reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False),
                 languages=icfg["languages"], **kw)
         else:
-            stream = ImageTextStream(reader, pre, image_transform(), **kw)
+            stream = ImageTextStream(reader, pre, image_transform(icfg), **kw)
 
         def batches():
             yield from iter_batches(iter(stream), icfg.get("batch_size", 128))
