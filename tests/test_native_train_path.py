@@ -374,3 +374,37 @@ def test_stream_chunking_is_invisible(rng, tmp_path):
         np.testing.assert_array_equal(sa["image"], sb["image"])
         np.testing.assert_array_equal(sa["text_ids_masked"],
                                       sb["text_ids_masked"])
+
+
+def test_video_stream_native_path(rng, tmp_path):
+    """VideoTextStream transforms all sampled frames in one native call."""
+    import base64 as b64
+    import json
+
+    from transformers import BertTokenizerFast
+
+    from x2vlm_tpu.data.pretrain import VideoTextStream
+    from x2vlm_tpu.data.streaming import DistLineReader
+    from x2vlm_tpu.data.tokenization import TextPreprocessor
+
+    path = tmp_path / "videos.jsonl"
+    with open(path, "w") as f:
+        for i in range(2):
+            frames = [b64.b64encode(_jpeg(_img(rng, 40, 50))).decode()
+                      for _ in range(5)]
+            f.write(json.dumps({"frames": frames,
+                                "caption": "a tiny test image"}) + "\n")
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] a tiny test image".split()
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"),
+                            do_lower_case=True)
+    pre = TextPreprocessor(tok, max_tokens=12, max_masks=3,
+                           rng=random.Random(0))
+    reader = DistLineReader([str(path)], rank=0, world_size=1, repeat=False)
+    stream = VideoTextStream(reader, pre,
+                             NativeTrainTransform(32, rng=random.Random(0)),
+                             frame_len=3, rng=random.Random(1))
+    samples = list(stream)
+    assert len(samples) == 2 and stream.broken == 0
+    assert samples[0]["image"].shape == (3, 32, 32, 3)
+    assert samples[0]["image"].dtype == np.uint8

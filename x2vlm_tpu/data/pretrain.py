@@ -269,11 +269,22 @@ class VideoTextStream(_StreamBase):
                     continue
                 ids = sample_frame_ids(len(frames), self.frame_len,
                                        self.training, self.rng)
-                imgs = []
-                for fi in ids:
-                    img = _open_image({"f": frames[fi]}, "f", self.is_image_rpath)
-                    imgs.append(np.asarray(self.transform(img)))
-                image = np.stack(imgs)  # (F, H, W, 3)
+                if getattr(self.transform, "wants_bytes", False):
+                    # native path: all sampled frames in one C++ call
+                    raws = [_read_image_bytes({"f": frames[fi]}, "f",
+                                              self.is_image_rpath)
+                            for fi in ids]
+                    imgs, ok = self.transform.transform_batch(raws)
+                    if not ok.all():
+                        raise ValueError("broken frame")
+                    image = imgs  # (F, H, W, 3)
+                else:
+                    imgs = []
+                    for fi in ids:
+                        img = _open_image({"f": frames[fi]}, "f",
+                                          self.is_image_rpath)
+                        imgs.append(np.asarray(self.transform(img)))
+                    image = np.stack(imgs)  # (F, H, W, 3)
                 t_ids, atts, ids_masked, pos, labels = self.text_pre(
                     caption, with_masking=True)
                 yield {"image": image, "text_ids": t_ids, "text_atts": atts,

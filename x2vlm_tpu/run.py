@@ -961,7 +961,7 @@ def run_pretrain(args, cfg, mesh):
         def video_batches(name, paths):
             reader = make_reader(name, paths)
             stream = VideoTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False),
+                reader, pre, image_transform(vcfg),
                 frame_len=vcfg.get("frame_len", cfg.get("frame_len", 3)),
                 # the reference names the frame list via the block's
                 # image_key (pretrain_dataset.py:298); frames_key wins if set
