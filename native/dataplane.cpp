@@ -918,6 +918,95 @@ int dp_pretrain_batch_b64(const char* blob, const int64_t* offsets, int n,
                                n_cand, aug_n, aug_m, out, status, num_threads);
 }
 
+// Region-text train path (reference RegionTextJsonDataset): the bbox-aware
+// crop box, flip decision, and augment ops are sampled host-side (they need
+// the annotation's bboxes); this runs the pixel work — ROI decode of the
+// given crop, bicubic resample to res, optional hflip, explicit op list —
+// in one pass per image. boxes: (n, 4) int32 x0/y0/cw/ch in full-res
+// coords; ops/vals: (n, aug_n). out: (n, res, res, 3) uint8.
+int dp_region_batch_raw(const uint8_t* blob, const int64_t* offsets, int n,
+                        int res, const int32_t* boxes, const uint8_t* flips,
+                        const int32_t* aug_ops, const float* aug_vals,
+                        int aug_n, uint8_t* out, uint8_t* status,
+                        int num_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> pixels, tmp, buf_a, buf_b;
+    const size_t npix = (size_t)res * res * 3;
+    buf_a.resize(npix);
+    buf_b.resize(npix);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* data = blob + offsets[i];
+      size_t len = (size_t)(offsets[i + 1] - offsets[i]);
+      uint8_t* dst = out + (size_t)i * npix;
+      const int32_t* box = boxes + (size_t)i * 4;
+      uint8_t* cur = buf_a.data();
+      uint8_t* alt = buf_b.data();
+      bool is_jpg = len >= 2 && data[0] == 0xFF && data[1] == 0xD8;
+      bool decoded = false;
+      if (is_jpg) {
+        int pw = 0, ph = 0;
+        double fbox[4];
+        if (decode_jpeg_roi(data, len, box[0], box[1], box[2], box[3], res,
+                            pixels, pw, ph, fbox)) {
+          crop_resize_u8f(pixels.data(), pw, ph, fbox[0], fbox[1], fbox[2],
+                          fbox[3], res, /*filter=*/1, cur, tmp);
+          decoded = true;
+        }
+      }
+      if (!decoded) {
+        int w = 0, h = 0;
+        if (!decode_any(data, len, pixels, w, h) || w <= 0 || h <= 0) {
+          memset(dst, 0, npix);
+          status[i] = 0;
+          continue;
+        }
+        crop_resize_u8(pixels.data(), w, h, box[0], box[1], box[2], box[3],
+                       res, /*filter=*/1, cur, tmp);
+      }
+      if (flips[i]) {
+        hflip_u8(cur, res, res, alt);
+        std::swap(cur, alt);
+      }
+      for (int a = 0; a < aug_n; ++a) {
+        if (apply_aug_op(cur, res, res, aug_ops[(size_t)i * aug_n + a],
+                         aug_vals[(size_t)i * aug_n + a], alt))
+          std::swap(cur, alt);
+      }
+      memcpy(dst, cur, npix);
+      status[i] = 1;
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return 0;
+}
+
+// Header-only image dims (JPEG or PNG). Returns 1 on success.
+int dp_image_dims(const uint8_t* data, int64_t len, int32_t* wh) {
+  int w = 0, h = 0;
+  if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8) {
+    if (!jpeg_dims(data, (size_t)len, w, h)) return 0;
+  } else if (len >= 24 && !png_sig_cmp(data, 0, 8)) {
+    // PNG IHDR is always first: width/height big-endian at offsets 16/20
+    w = (data[16] << 24) | (data[17] << 16) | (data[18] << 8) | data[19];
+    h = (data[20] << 24) | (data[21] << 16) | (data[22] << 8) | data[23];
+  } else if (!jpeg_dims(data, (size_t)len, w, h)) {
+    return 0;
+  }
+  if (w <= 0 || h <= 0) return 0;
+  wh[0] = w;
+  wh[1] = h;
+  return 1;
+}
+
 // Test hooks (PIL-parity unit tests drive these directly).
 int dp_crop_resize_u8(const uint8_t* rgb, int w, int h, int x0, int y0,
                       int cw, int ch, int res, int filter, uint8_t* out) {

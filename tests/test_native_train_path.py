@@ -376,6 +376,95 @@ def test_stream_chunking_is_invisible(rng, tmp_path):
                                       sb["text_ids_masked"])
 
 
+def test_region_pixels_match_pil_given_params(rng):
+    """NativeBoxTransform pixel path vs the PIL region path (crop → flip →
+    bicubic resize → photometric augs) with pinned parameters."""
+    from x2vlm_tpu.data.native import NativeBoxTransform
+
+    h, w = 150, 190
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(np.stack([xx / w * 255, yy / h * 255,
+                             (xx + yy) / (w + h) * 255], -1)
+                   + rng.standard_normal((h, w, 3)) * 8, 0,
+                   255).astype(np.uint8)
+    raw = _jpeg(base)
+    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    tf = NativeBoxTransform(48, rng=random.Random(0))
+    assert tf.image_dims(raw) == (w, h)
+    for box, flip, aug in (((10, 20, 120, 100), 0, "AutoContrast"),
+                           ((0, 0, 190, 150), 1, "Brightness"),
+                           ((33, 7, 60, 90), 1, "Equalize")):
+        tf.augs = [aug]  # pin the op choice
+        tf.n = 1
+        native, ok = tf.region_batch([raw], [box], [flip])
+        assert ok[0]
+        x0, y0, cw, ch = box
+        ref = img.crop((x0, y0, x0 + cw, y0 + ch))
+        if flip:
+            ref = T.hflip(ref)
+        ref = ref.resize((48, 48), Image.BICUBIC)
+        fn, lo, hi = T._AUG_OPS[aug]
+        ref = np.asarray(fn(ref, lo + (hi - lo) * 0.7), np.float32)
+        out = native[0].astype(np.float32)
+        corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.995, (box, flip, aug, corr)
+        assert np.abs(out - ref).mean() < 4.0, (box, flip, aug)
+
+
+def test_region_stream_native_metadata_matches_pil(rng, tmp_path):
+    """Same stream rng → identical bbox/atts/text metadata on both the
+    native and PIL region paths (only the image dtype/pixels differ)."""
+    import base64 as b64
+    import json
+
+    from transformers import BertTokenizerFast
+
+    from x2vlm_tpu.data.native import NativeBoxTransform
+    from x2vlm_tpu.data.pretrain import RegionTextStream
+    from x2vlm_tpu.data.streaming import DistLineReader
+    from x2vlm_tpu.data.tokenization import TextPreprocessor
+
+    path = tmp_path / "regions.jsonl"
+    with open(path, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({
+                "binary": b64.b64encode(_jpeg(_img(rng, 96, 112))).decode(),
+                "caption": "a tiny test image",
+                "elems": [
+                    {"bb": [8, 8, 48, 40], "caption": "a tiny image"},
+                    {"bb": [30, 20, 60, 60], "caption": "a test image"},
+                ]}) + "\n")
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] a tiny test image".split()
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"),
+                            do_lower_case=True)
+
+    def run(native):
+        pre = TextPreprocessor(tok, max_tokens=12, max_masks=3,
+                               rng=random.Random(0))
+        reader = DistLineReader([str(path)], rank=0, world_size=1,
+                                repeat=False)
+        tf = (NativeBoxTransform(32, rng=random.Random(9)) if native
+              else T.box_transform(rng=random.Random(9)))
+        s = RegionTextStream(reader, pre, tf, image_res=32, patch_size=16,
+                             max_regions=3, min_perc_in_image=0.3,
+                             rng=random.Random(4))
+        return list(s), s.broken
+
+    a, broken_a = run(True)
+    b, broken_b = run(False)
+    assert broken_a == broken_b == 0 and len(a) == len(b) == 4
+    for sa, sb in zip(a, b):
+        assert sa["image"].dtype == np.uint8
+        assert sb["image"].dtype == np.float32
+        assert sa["image"].shape == sb["image"].shape == (32, 32, 3)
+        assert len(sa["rows"]) == len(sb["rows"])
+        for ra, rb in zip(sa["rows"], sb["rows"]):
+            for k in ("target_bbox", "image_atts", "is_image", "text_ids",
+                      "text_ids_masked"):
+                np.testing.assert_array_equal(ra[k], rb[k], err_msg=k)
+
+
 def test_video_stream_native_path(rng, tmp_path):
     """VideoTextStream transforms all sampled frames in one native call."""
     import base64 as b64

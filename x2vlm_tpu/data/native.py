@@ -16,8 +16,8 @@ import numpy as np
 
 from x2vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 
-__all__ = ["NativeDecoder", "NativeTrainTransform", "load_dataplane",
-           "native_available"]
+__all__ = ["NativeDecoder", "NativeTrainTransform", "NativeBoxTransform",
+           "load_dataplane", "native_available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -100,6 +100,17 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float)]
+    lib.dp_region_batch_raw.restype = ctypes.c_int
+    lib.dp_region_batch_raw.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int]
+    lib.dp_image_dims.restype = ctypes.c_int
+    lib.dp_image_dims.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_int32)]
 
 
 def native_available() -> bool:
@@ -219,3 +230,75 @@ class NativeTrainTransform:
         if not ok[0]:
             raise ValueError("broken image (native decode failed)")
         return out[0]
+
+
+class NativeBoxTransform:
+    """Region-stream pixel path in C++ (bbox-aware crop sampling stays in
+    Python — it needs the annotation's boxes): ROI decode of the sampled
+    crop → bicubic resample → hflip → BOX_AUGS RandAugment → uint8.
+    Aug ops are drawn from this object's own rng (mirrors RandomAugment
+    holding its own stream, so the caller's rng sequence is unchanged vs
+    the PIL path)."""
+
+    wants_bytes = True
+
+    def __init__(self, image_res: int, n: int = 2, m: int = 7,
+                 augs: Optional[Sequence[str]] = None, rng=None,
+                 num_threads: int = 1):
+        import random as _random
+
+        from x2vlm_tpu.data.transforms import BOX_AUGS
+
+        self.lib = load_dataplane()
+        if self.lib is None:
+            raise RuntimeError("native dataplane unavailable (g++/libjpeg?)")
+        self.res = image_res
+        self.n = n
+        self.m = m
+        self.augs = list(augs or BOX_AUGS)
+        self.rng = rng or _random.Random()
+        self.num_threads = num_threads
+        # (lo, hi) per op id, matching transforms._AUG_OPS ranges
+        self._ranges = {0: (0.0, 0.0), 1: (0.0, 0.0), 2: (0.0, 0.0),
+                        3: (0.1, 1.9), 4: (0.1, 1.9), 5: (-0.3, 0.3),
+                        6: (-0.3, 0.3), 7: (-0.3, 0.3), 8: (-0.3, 0.3),
+                        9: (-30.0, 30.0)}
+
+    def image_dims(self, raw: bytes):
+        wh = np.empty(2, np.int32)
+        if not self.lib.dp_image_dims(
+                raw, len(raw), wh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))):
+            raise ValueError("broken image (header parse failed)")
+        return int(wh[0]), int(wh[1])
+
+    def region_batch(self, items: Sequence[bytes], boxes, flips):
+        """raw images + full-res crop boxes (x0, y0, cw, ch) + flip flags →
+        ((N, res, res, 3) uint8, ok). Aug ops drawn per image from self.rng."""
+        n = len(items)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(e) for e in items], out=offsets[1:])
+        blob = b"".join(items)
+        boxes = np.ascontiguousarray(boxes, np.int32).reshape(n, 4)
+        flips = np.ascontiguousarray(flips, np.uint8).reshape(n)
+        ops = np.empty((n, self.n), np.int32)
+        vals = np.empty((n, self.n), np.float32)
+        for i in range(n):
+            for a in range(self.n):
+                op = AUG_OP_IDS[self.rng.choice(self.augs)]
+                lo, hi = self._ranges[op]
+                ops[i, a] = op
+                vals[i, a] = lo + (hi - lo) * self.m / 10.0
+        out = np.empty((n, self.res, self.res, 3), np.uint8)
+        status = np.empty(n, np.uint8)
+        self.lib.dp_region_batch_raw(
+            blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, self.res,
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.num_threads)
+        return out, status.astype(bool)

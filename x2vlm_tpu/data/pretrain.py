@@ -348,8 +348,13 @@ class RegionTextStream(_StreamBase):
 
     def _one(self, ann: dict) -> Dict:
         rng = self.rng
-        img = _open_image(ann, self.image_key, self.is_image_rpath)
-        W, H = img.size
+        native = getattr(self.box_transform, "wants_bytes", False)
+        if native:
+            raw = _read_image_bytes(ann, self.image_key, self.is_image_rpath)
+            W, H = self.box_transform.image_dims(raw)
+        else:
+            img = _open_image(ann, self.image_key, self.is_image_rpath)
+            W, H = img.size
         x, y, w, h = [int(v) for v in rng.choice(ann["elems"])["bb"]]
         assert x >= 0 and y >= 0 and x + w <= W and y + h <= H and w > 0 and h > 0
 
@@ -357,17 +362,26 @@ class RegionTextStream(_StreamBase):
         x1 = rng.randint(min(x + w, W), W)
         y1 = rng.randint(min(y + h, H), H)
         w0, h0 = x1 - x0, y1 - y0
-        img = img.crop((x0, y0, x1, y1))
-        W, H = img.size
 
-        do_hflip = False
-        if rng.random() < 0.5 and not (
-                self.careful_hflip and self._left_right_in_captions(ann)):
-            img = hflip(img)
-            do_hflip = True
+        do_hflip = bool(rng.random() < 0.5 and not (
+            self.careful_hflip and self._left_right_in_captions(ann)))
 
-        img = img.resize((self.image_res, self.image_res), Image.BICUBIC)
-        image = self.box_transform(img).astype(np.float32)
+        if native:
+            # pixel work (ROI decode + crop-resize + flip + augs) in C++;
+            # uint8 transport with on-device normalize
+            imgs, ok = self.box_transform.region_batch(
+                [raw], [(x0, y0, w0, h0)], [do_hflip])
+            if not ok[0]:
+                raise ValueError("broken image")
+            image = imgs[0]
+            W, H = w0, h0
+        else:
+            img = img.crop((x0, y0, x1, y1))
+            W, H = img.size
+            if do_hflip:
+                img = hflip(img)
+            img = img.resize((self.image_res, self.image_res), Image.BICUBIC)
+            image = self.box_transform(img).astype(np.float32)
 
         rows: List[Dict] = []
         max_elems = self.max_regions

@@ -931,6 +931,18 @@ def run_pretrain(args, cfg, mesh):
         assert rcfg.get("batch_size", 128) % n_dev == 0, \
             "regions.batch_size must divide the device count"
 
+        def box_tf():
+            want = cfg.get("native_aug", "auto")
+            if want in (True, "auto"):
+                try:
+                    from x2vlm_tpu.data.native import NativeBoxTransform
+
+                    return NativeBoxTransform(cfg["image_res"])
+                except RuntimeError:
+                    if want is True:
+                        raise
+            return T.box_transform()
+
         def region_batches():
             reader = make_reader("region", cfg["train_file_regions"])
             kw = dict(image_res=cfg["image_res"],
@@ -941,11 +953,11 @@ def run_pretrain(args, cfg, mesh):
                       image_key=rcfg.get("image_key", "binary"))
             if rcfg.get("languages"):
                 stream = RegionMultiTextStream(
-                    reader, pre, T.box_transform(),
+                    reader, pre, box_tf(),
                     languages=rcfg["languages"],
                     code_switch=rcfg.get("code_switch", True), **kw)
             else:
-                stream = RegionTextStream(reader, pre, T.box_transform(), **kw)
+                stream = RegionTextStream(reader, pre, box_tf(), **kw)
             it = iter(stream)
             while True:
                 samples = [next(it) for _ in range(rcfg.get("max_images", 50))]
