@@ -167,6 +167,41 @@ def main():
         el = time.perf_counter() - t0
         out[key] = nb * args.batch / el
 
+    # region stream: PIL float path vs native uint8 path (pixel work +
+    # bbox math + per-region tokenize)
+    shard_r = os.path.join(tmp, "regions.jsonl")
+    with open(shard_r, "w") as f:
+        for i, s in enumerate(b64s):
+            f.write(json.dumps({
+                "binary": s, "caption": f"a photo of sample {i}",
+                "elems": [{"bb": [40, 30, 260, 200],
+                           "caption": "a sample on a table"},
+                          {"bb": [150, 100, 300, 240],
+                           "caption": "a photo of a table"}]}) + "\n")
+
+    def region_rate(native):
+        from x2vlm_tpu.data.pretrain import RegionTextStream
+
+        if native:
+            from x2vlm_tpu.data.native import NativeBoxTransform
+
+            tf = NativeBoxTransform(args.res, rng=random.Random(0))
+        else:
+            tf = T.box_transform(rng=random.Random(0))
+        reader = DistLineReader([shard_r], shuffle=False, repeat=False)
+        s = RegionTextStream(reader, pre, tf, image_res=args.res,
+                             patch_size=16, max_regions=3,
+                             min_perc_in_image=0.3, rng=random.Random(0))
+        t0 = time.perf_counter()
+        n = sum(1 for _ in s)
+        return n / (time.perf_counter() - t0)
+
+    try:
+        out["region_feed_native"] = region_rate(True)
+    except Exception as e:  # pragma: no cover
+        print(f"native region unavailable: {e}", file=sys.stderr)
+    out["region_feed_pil"] = region_rate(False)
+
     # overlap: Prefetcher feeding an emulated device step (sleep releases
     # the GIL exactly like a jax dispatch wait does)
     def overlapped():
