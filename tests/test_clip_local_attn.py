@@ -142,3 +142,13 @@ def test_xvlm_clip_local_attn_grouped_pretrain(rng):
     gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
                          for g in jax.tree_util.tree_leaves(grads)))
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_local_attn_depth_exceeding_depth_raises(rng):
+    """local_attn_depth > depth would make local_from negative and silently
+    return full-image rows as 'regions' — must raise instead."""
+    cfg = dataclasses.replace(CFG, local_attn_depth=3)  # depth is 2
+    model = CLIPViT(cfg, dtype=jnp.float32)
+    pixels = _pixels(rng)
+    with pytest.raises(ValueError, match="exceeds"):
+        model.init(jax.random.PRNGKey(0), pixels)

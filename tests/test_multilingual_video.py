@@ -280,3 +280,24 @@ def test_hdfs_train_file_streams_end_to_end(fake_hdfs, tok):
     ann = _load_annotations("hdfs://test/ann.json")
     assert ann[0]["caption"] == ["a dog"]
     assert open_image(ann[0]["image"]).size == (40, 40)
+
+
+def test_image_multitext_stream_uint8_transport(tmp_path, tok):
+    """The multilingual image stream must keep the transform's dtype (uint8
+    transport + on-device normalize, like the monolingual ImageTextStream) —
+    regression for a float32 cast that skipped normalization entirely."""
+    rng = np.random.default_rng(1)
+    f = tmp_path / "mt8.jsonl"
+    with open(f, "w") as fh:
+        fh.write(json.dumps({
+            "binary": _b64(rng),
+            "caption": {"en": "the quick dog"},
+        }) + "\n")
+    pre = TextPreprocessor(tok, max_tokens=10, max_masks=3,
+                           rng=random.Random(0))
+    reader = DistLineReader([str(f)], shuffle=False, repeat=False)
+    stream = ImageMultiTextStream(
+        reader, pre, T.pretrain_transform(32, as_float=False),
+        languages=["en"], rng=random.Random(0))
+    (sample,) = list(stream)
+    assert sample["image"].dtype == np.uint8

@@ -282,3 +282,22 @@ def test_pretrain_epoch_save_cadence(corpus):
                   log_every=10)
     # epochs end at steps 2,4,6; every-2nd epoch → steps 4 and 6 (6 = final)
     assert saved == [4, 6]
+
+
+def test_get_clips_bounded_skip_set():
+    """_get_clips must not spin forever on all-skipped rows and must handle a
+    shared (non-list) caption — regression for an unbounded re-roll loop."""
+    vs = VideoTextStream.__new__(VideoTextStream)
+    vs.rng = random.Random(0)
+    vs.skip_captions = {"[Music]"}
+    vs.combine_continuous_clips = False
+    vs.minimum_frames_before_sampling = 0
+
+    frames, ids = vs._get_clips([["a"], ["b"]], ["[Music]", "ok"], False)
+    assert frames == ["b"] and ids == [1]
+
+    frames, ids = vs._get_clips([["a"], ["b"]], "one shared caption", False)
+    assert frames == [["a"], ["b"]][ids[0]]
+
+    with pytest.raises(ValueError):
+        vs._get_clips([["a"], ["b"]], ["[Music]", "[Music]"], False)

@@ -39,22 +39,16 @@ class ImageMultiTextStream(ImageTextStream):
                          rng=rng)
         self.languages = list(languages)
 
-    def __iter__(self):
-        from x2vlm_tpu.data.pretrain import _open_image
-
-        for ann in self.reader.iter_json():
-            try:
-                img = _open_image(ann, self.image_key, self.is_image_rpath)
-                image = self.transform(img).astype(np.float32)
-                caption = choose_language(ann[self.caption_key], self.languages,
-                                          self.rng)
-                ids, atts, ids_m, pos, labels = self.text_pre(
-                    caption, with_masking=True)
-                yield {"image": image, "text_ids": ids, "text_atts": atts,
-                       "text_ids_masked": ids_m, "masked_pos": pos,
-                       "masked_ids": labels}
-            except Exception:
-                self.broken += 1
+    def _text_sample(self, ann: dict, image: np.ndarray) -> Dict:
+        # only the caption choice differs from the monolingual stream — keep
+        # the parent's image handling (uint8 transport, native decode path)
+        caption = choose_language(ann[self.caption_key], self.languages,
+                                  self.rng)
+        ids, atts, ids_m, pos, labels = self.text_pre(
+            caption, with_masking=True)
+        return {"image": image, "text_ids": ids, "text_atts": atts,
+                "text_ids_masked": ids_m, "masked_pos": pos,
+                "masked_ids": labels}
 
 
 class RegionMultiTextStream(RegionTextStream):

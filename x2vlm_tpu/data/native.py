@@ -258,11 +258,12 @@ class NativeBoxTransform:
         self.augs = list(augs or BOX_AUGS)
         self.rng = rng or _random.Random()
         self.num_threads = num_threads
-        # (lo, hi) per op id, matching transforms._AUG_OPS ranges
-        self._ranges = {0: (0.0, 0.0), 1: (0.0, 0.0), 2: (0.0, 0.0),
-                        3: (0.1, 1.9), 4: (0.1, 1.9), 5: (-0.3, 0.3),
-                        6: (-0.3, 0.3), 7: (-0.3, 0.3), 8: (-0.3, 0.3),
-                        9: (-30.0, 30.0)}
+        # (lo, hi) per op id, derived from the PIL source of truth so a range
+        # tweak in transforms._AUG_OPS cannot desynchronize the native path
+        from x2vlm_tpu.data.transforms import _AUG_OPS
+
+        self._ranges = {AUG_OP_IDS[name]: (float(lo), float(hi))
+                        for name, (_, lo, hi) in _AUG_OPS.items()}
 
     def image_dims(self, raw: bytes):
         wh = np.empty(2, np.int32)

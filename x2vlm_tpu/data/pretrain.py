@@ -247,9 +247,19 @@ class VideoTextStream(_StreamBase):
                 clip_captions=captions, skip_caption_set=self.skip_captions,
                 rng=self.rng)
             return [f for i in ids for f in clips[i]], ids
-        i = self.rng.randrange(len(clips))
-        while captions[i] in self.skip_captions:   # HowTo100M music rows
+        if not isinstance(captions, list):
+            # one caption for all clips (the reference asserts list here; a
+            # string row would index characters) — any clip is eligible
             i = self.rng.randrange(len(clips))
+            return clips[i], [i]
+        # uniform over eligible clips (HowTo100M music rows are skipped);
+        # bounded, unlike rejection sampling — an all-skipped row raises and
+        # is counted broken by __iter__ instead of hanging the producer
+        eligible = [j for j, c in enumerate(captions)
+                    if c not in self.skip_captions]
+        if not eligible:
+            raise ValueError("all clip captions in skip set")
+        i = self.rng.choice(eligible)
         return clips[i], [i]
 
     def __iter__(self):

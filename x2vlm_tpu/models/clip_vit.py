@@ -112,6 +112,12 @@ class CLIPViT(nn.Module):
         if grouped and cfg.local_attn_depth <= 0:
             raise ValueError("region arguments require local_attn_depth > 0; "
                              "use the composition-level grouped path instead")
+        if cfg.local_attn_depth > cfg.depth:
+            # otherwise local_from goes negative, the region gather never
+            # fires, and the final split silently returns full-image rows
+            raise ValueError(
+                f"local_attn_depth={cfg.local_attn_depth} exceeds "
+                f"depth={cfg.depth}")
         B = pixels.shape[0]
         x = PatchEmbed(cfg.embed_dim, cfg.patch_size, use_bias=False,
                        dtype=self.dtype, name="patch_embed")(pixels)

@@ -148,6 +148,9 @@ def setup(args):
     if args.pick_best_r1:
         cfg["pick_best_r1"] = True
     if args.gmt:
+        if "gmt_test_file" not in cfg:
+            raise ValueError("--gmt requires `gmt_test_file` in the config "
+                             "(reference XRetrieval.py --gmt path)")
         cfg["test_file"] = cfg["gmt_test_file"]
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -869,24 +872,32 @@ def run_pretrain(args, cfg, mesh):
         readers[name] = reader
         return reader
 
-    def image_transform(icfg):
+    def native_or_pil(native_cls_name, pil_fallback, num_threads=1):
         """Native one-pass decode+augment when available (1.5x the one-core
         feed rate, tools/bench_input_pipeline.py; GIL-free C++ pool sized by
         the block's num_workers — the reference's DataLoader-worker analog);
-        `native_aug: false` forces the PIL path, true requires the lib."""
+        `native_aug: false` forces the PIL path, true requires the lib.
+        Both paths draw augmentation params from the global `random` stream
+        seeded by --seed, so runs are reproducible either way."""
         want = cfg.get("native_aug", "auto")
         if want in (True, "auto"):
             try:
-                from x2vlm_tpu.data.native import NativeTrainTransform
+                from x2vlm_tpu.data import native as native_lib
 
-                threads = min(int(icfg.get("num_workers", 2)),
-                              os.cpu_count() or 1)
-                return NativeTrainTransform(cfg["image_res"],
-                                            num_threads=max(1, threads))
+                cls = getattr(native_lib, native_cls_name)
+                return cls(cfg["image_res"], rng=random,
+                           num_threads=max(1, num_threads))
             except RuntimeError:
                 if want is True:
                     raise
-        return T.pretrain_transform(cfg["image_res"], as_float=False)
+        return pil_fallback()
+
+    def image_transform(icfg):
+        threads = min(int(icfg.get("num_workers", 2)), os.cpu_count() or 1)
+        return native_or_pil(
+            "NativeTrainTransform",
+            lambda: T.pretrain_transform(cfg["image_res"], as_float=False),
+            num_threads=threads)
 
     def image_stream_for(name, paths, icfg):
         """Image-text batches; multilingual captions when `languages` is
@@ -897,7 +908,7 @@ def run_pretrain(args, cfg, mesh):
                   is_image_rpath=icfg.get("is_image_rpath", False))
         if icfg.get("languages"):
             stream = ImageMultiTextStream(
-                reader, pre, T.pretrain_transform(cfg["image_res"], as_float=False),
+                reader, pre, image_transform(icfg),
                 languages=icfg["languages"], **kw)
         else:
             stream = ImageTextStream(reader, pre, image_transform(icfg), **kw)
@@ -932,16 +943,7 @@ def run_pretrain(args, cfg, mesh):
             "regions.batch_size must divide the device count"
 
         def box_tf():
-            want = cfg.get("native_aug", "auto")
-            if want in (True, "auto"):
-                try:
-                    from x2vlm_tpu.data.native import NativeBoxTransform
-
-                    return NativeBoxTransform(cfg["image_res"])
-                except RuntimeError:
-                    if want is True:
-                        raise
-            return T.box_transform()
+            return native_or_pil("NativeBoxTransform", T.box_transform)
 
         def region_batches():
             reader = make_reader("region", cfg["train_file_regions"])
